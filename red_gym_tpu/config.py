@@ -1,0 +1,142 @@
+"""Configuration pytrees and static simulation config.
+
+The reference gym configures vehicles with a plain dict of 18 floats threaded
+through every call (reference: gym/f110_gym/envs/f110_env.py:128,
+base_classes.py:68-91).  Here the same fields become a `VehicleParams`
+NamedTuple — a JAX pytree of arrays, so parameters can be batched per agent
+and per env, donated to jit, and swept with `vmap` for population-based
+tuning (the reference's CMA param-search use case,
+examples/config_example_map.yaml).
+
+`SimConfig` holds everything that must be static at trace time (shapes,
+integrator choice, beam counts).  It is hashable so jitted step functions can
+close over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Integrator(enum.Enum):
+    """Time integrator for the vehicle ODE (reference: base_classes.py:40-42)."""
+
+    RK4 = 1
+    EULER = 2
+
+
+class VehicleParams(NamedTuple):
+    """Vehicle physical parameters.
+
+    Field names and defaults follow the reference parameter dict
+    (reference: gym/f110_gym/envs/f110_env.py:67-128).  Every field is an
+    array; fields may be scalars or carry leading (env, agent) batch axes —
+    all dynamics kernels broadcast against the state's batch axes.
+    """
+
+    mu: jnp.ndarray        # surface friction coefficient
+    C_Sf: jnp.ndarray      # front cornering stiffness coefficient
+    C_Sr: jnp.ndarray      # rear cornering stiffness coefficient
+    lf: jnp.ndarray        # CoG -> front axle distance [m]
+    lr: jnp.ndarray        # CoG -> rear axle distance [m]
+    h: jnp.ndarray         # CoG height [m]
+    m: jnp.ndarray         # mass [kg]
+    I: jnp.ndarray         # yaw moment of inertia [kg m^2]
+    s_min: jnp.ndarray     # min steering angle [rad]
+    s_max: jnp.ndarray     # max steering angle [rad]
+    sv_min: jnp.ndarray    # min steering velocity [rad/s]
+    sv_max: jnp.ndarray    # max steering velocity [rad/s]
+    v_switch: jnp.ndarray  # wheel-spin switching velocity [m/s]
+    a_max: jnp.ndarray     # max acceleration [m/s^2]
+    v_min: jnp.ndarray     # min longitudinal velocity [m/s]
+    v_max: jnp.ndarray     # max longitudinal velocity [m/s]
+    width: jnp.ndarray     # car body width [m]
+    length: jnp.ndarray    # car body length [m]
+
+    @classmethod
+    def default(cls, dtype=jnp.float32) -> "VehicleParams":
+        """Default F1TENTH car (reference: f110_env.py:128)."""
+        d = DEFAULT_PARAMS_DICT
+        return cls(**{k: jnp.asarray(v, dtype=dtype) for k, v in d.items()})
+
+    @classmethod
+    def from_dict(cls, d: dict, dtype=jnp.float32) -> "VehicleParams":
+        unknown = set(d) - set(cls._fields)
+        if unknown:
+            raise KeyError(f"unknown vehicle params: {sorted(unknown)}")
+        merged = dict(DEFAULT_PARAMS_DICT)
+        merged.update(d)
+        return cls(**{k: jnp.asarray(merged[k], dtype=dtype) for k in cls._fields})
+
+    def replace(self, **kw) -> "VehicleParams":
+        return self._replace(**{k: jnp.asarray(v, dtype=self.mu.dtype) for k, v in kw.items()})
+
+
+DEFAULT_PARAMS_DICT = {
+    "mu": 1.0489,
+    "C_Sf": 4.718,
+    "C_Sr": 5.4562,
+    "lf": 0.15875,
+    "lr": 0.17145,
+    "h": 0.074,
+    "m": 3.74,
+    "I": 0.04712,
+    "s_min": -0.4189,
+    "s_max": 0.4189,
+    "sv_min": -3.2,
+    "sv_max": 3.2,
+    "v_switch": 7.319,
+    "a_max": 9.51,
+    "v_min": -5.0,
+    "v_max": 20.0,
+    "width": 0.31,
+    "length": 0.58,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (trace-time) simulation configuration.
+
+    Mirrors the kwargs of the reference env constructor
+    (reference: f110_env.py:100-157) minus anything that is a runtime array.
+    Hashable so jitted functions can specialize on it.
+    """
+
+    num_agents: int = 2
+    num_beams: int = 1080
+    fov: float = 2.0 * math.pi          # fork delta: default 2*pi (f110_env.py:157)
+    timestep: float = 0.01
+    ego_idx: int = 0
+    integrator: Integrator = Integrator.RK4
+    # lidar
+    theta_dis: int = 2000               # angle discretization bins (laser_models.py:360)
+    max_range: float = 30.0
+    eps: float = 0.0001                 # ray-march termination distance
+    scan_noise_std: float = 0.01        # gaussian beam noise (laser_models.py:429)
+    # iTTC wall-collision threshold (base_classes.py:113)
+    ttc_thresh: float = 0.005
+    # steering delay depth (base_classes.py:107)
+    steer_delay: int = 2
+    # finish-line geometry (f110_env.py:216-230)
+    finish_band_halfwidth: float = 2.0
+    finish_dist2: float = 0.1
+    laps_to_finish_toggles: int = 4     # 4 toggles == 2 laps
+    # numerics
+    dtype: str = "float32"
+    # ray-march iteration strategy: 0 -> while_loop until every beam
+    # terminates; >0 -> fixed budget fori_loop (static unroll for pipelines)
+    march_iters: int = 0
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def angle_increment(self) -> float:
+        return self.fov / (self.num_beams - 1)
