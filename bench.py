@@ -1,0 +1,80 @@
+"""Benchmark: aggregate env-steps/s, 2-agent races with 1080-beam lidar.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no absolute throughput number; its closest claim is
+"up to 30x realtime" for the full env (reference docs/index.rst:12), i.e.
+~3000 env-steps/s at the 0.01s physics step on one CPU.  vs_baseline is the
+ratio against that claim.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from red_gym_tpu.config import Integrator, SimConfig
+from red_gym_tpu import env as envlib
+from red_gym_tpu.assets import example_map_yaml
+
+N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
+N_AGENTS = 2
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
+SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
+START = np.array([[0.7, 0.0, 1.37079632679], [0.7, -1.0, 1.37079632679]])
+
+
+def main():
+    cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
+                    integrator=Integrator.RK4, dtype="float32",
+                    scan_mode=SCAN_MODE)
+    params = envlib.make_params(cfg, example_map_yaml(), ".png")
+
+    poses = jnp.tile(jnp.asarray(START[:N_AGENTS], jnp.float32), (N_ENVS, 1, 1))
+    init = jax.jit(jax.vmap(lambda po, k: envlib.init_state(cfg, po, k)))
+    states = init(poses, jax.random.split(jax.random.PRNGKey(0), N_ENVS))
+
+    @jax.jit
+    def run(params, states, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            steer = 0.4 * jax.random.uniform(ka, (N_ENVS, N_AGENTS),
+                                             jnp.float32, -1.0, 1.0)
+            speed = jnp.full((N_ENVS, N_AGENTS), 3.0, jnp.float32)
+            act = jnp.stack([steer, speed], axis=-1)
+            s, obs, r, d, _ = jax.vmap(
+                lambda ss, aa: envlib.step(cfg, params, ss, aa))(s, act)
+            return (s, k), d
+        (s, _), dones = jax.lax.scan(body, (states, key), None, length=STEPS)
+        return s, dones
+
+    # warmup / compile
+    s, dones = run(params, states, jax.random.PRNGKey(1))
+    float(jnp.sum(s.x))  # force full execution (block_until_ready does not
+    # reliably block through the axon relay)
+
+    t0 = time.time()
+    s, dones = run(params, states, jax.random.PRNGKey(2))
+    float(jnp.sum(s.x))
+    dt = time.time() - t0
+
+    rate = N_ENVS * STEPS / dt
+    print(json.dumps({
+        "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam lidar, "
+                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}, 1 chip)",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / 3000.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

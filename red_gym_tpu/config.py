@@ -132,6 +132,12 @@ class SimConfig:
     # ray-march iteration strategy: 0 -> while_loop until every beam
     # terminates; >0 -> fixed budget fori_loop (static unroll for pipelines)
     march_iters: int = 0
+    # lidar mode: "exact" = reference-parity sphere march per beam;
+    # "fast" = precomputed range texture R(x, y, theta) + trilinear lookup
+    # (the BASELINE north-star design: one gather instead of a march)
+    scan_mode: str = "exact"
+    rt_theta_bins: int = 128      # angular bins of the range texture
+    rt_pose_stride: int = 2       # texture cell = stride * map resolution
 
     @property
     def jdtype(self):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from red_gym_tpu.config import Integrator, SimConfig, VehicleParams
 from red_gym_tpu.maps.loader import TrackMap, load_map
 from red_gym_tpu.ops import agent_scan, collision as col, dynamics as dyn, integrate
-from red_gym_tpu.ops import scan as scan_ops
+from red_gym_tpu.ops import scan as scan_ops, scan_fast
 
 
 class EnvParams(NamedTuple):
@@ -38,6 +38,7 @@ class EnvParams(NamedTuple):
     vehicle: VehicleParams        # fields scalar or (A,) for per-agent params
     tables: scan_ops.ScanTables
     tmap: TrackMap
+    rtex: Optional["scan_fast.RangeTexture"] = None  # fast-mode range texture
 
 
 class EnvState(NamedTuple):
@@ -90,7 +91,10 @@ def make_params(cfg: SimConfig, map_yaml_path: str, map_ext: str = ".png",
         cfg, width=float(np.asarray(vehicle.width).ravel()[0]),
         length=float(np.asarray(vehicle.lf).ravel()[0] + np.asarray(vehicle.lr).ravel()[0]),
         dtype=cfg.jdtype)
-    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap)
+    rtex = None
+    if cfg.scan_mode == "fast":
+        rtex = scan_fast.build_range_texture(tmap, cfg)
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
 
 
 def init_state(cfg: SimConfig, poses, key) -> EnvState:
@@ -157,7 +161,11 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     # reproducing the reference's identical-seed-per-car quirk
     # (base_classes.py:117,202).
     rng, sub = jax.random.split(state.rng)
-    scans = scan_ops.trace(poses, params.tables, params.tmap, cfg)
+    if cfg.scan_mode == "fast":
+        scans = scan_fast.trace_fast(poses, params.tables, params.tmap,
+                                     params.rtex, cfg)
+    else:
+        scans = scan_ops.trace(poses, params.tables, params.tmap, cfg)
     if cfg.scan_noise_std > 0:
         noise = cfg.scan_noise_std * jax.random.normal(
             sub, (cfg.num_beams,), dtype=scans.dtype)

@@ -125,22 +125,11 @@ def beam_theta_indices(pose_theta, cfg: SimConfig):
     return ti.astype(jnp.int32)
 
 
-def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):
-    """Noiseless scan for pose(s) (..., 3) -> (..., num_beams).
-
-    Sphere march identical in arithmetic to reference trace_ray
-    (laser_models.py:107-146): start at the pose, repeatedly step the full
-    safe distance until within eps of an obstacle or beyond max_range, then
-    clamp to max_range.
-    """
-    idx = beam_theta_indices(pose[..., 2], cfg)
-    c = jnp.take(tables.cosines, idx)
-    s = jnp.take(tables.sines, idx)
-
-    shape = idx.shape
-    x = jnp.broadcast_to(pose[..., 0:1], shape)
-    y = jnp.broadcast_to(pose[..., 1:2], shape)
-
+def march(x, y, c, s, tmap: TrackMap, cfg: SimConfig):
+    """Sphere march from points (x, y) along directions (c, s), all same
+    shape.  Arithmetic identical to reference trace_ray
+    (laser_models.py:107-146): step the full safe distance until within eps
+    of an obstacle or beyond max_range, then clamp to max_range."""
     d = dt_lookup(x, y, tmap)
     total = d
 
@@ -170,6 +159,35 @@ def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):
         total = carry[3]
 
     return jnp.minimum(total, max_range)
+
+
+def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):
+    """Noiseless scan for pose(s) (..., 3) -> (..., num_beams) via the
+    theta-discretized beam table (reference get_scan, laser_models.py:
+    149-186)."""
+    idx = beam_theta_indices(pose[..., 2], cfg)
+    c = jnp.take(tables.cosines, idx)
+    s = jnp.take(tables.sines, idx)
+
+    shape = idx.shape
+    x = jnp.broadcast_to(pose[..., 0:1], shape)
+    y = jnp.broadcast_to(pose[..., 1:2], shape)
+    return march(x, y, c, s, tmap, cfg)
+
+
+def trace_angles(origins, angles, tmap: TrackMap, cfg: SimConfig):
+    """Scan at exact world angles (no theta-table discretization).
+
+    origins (..., 2), angles (A,) -> (..., A).  Used to precompute the fast
+    range texture."""
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+    shape = origins.shape[:-1] + angles.shape
+    x = jnp.broadcast_to(origins[..., 0:1], shape)
+    y = jnp.broadcast_to(origins[..., 1:2], shape)
+    c = jnp.broadcast_to(c, shape)
+    s = jnp.broadcast_to(s, shape)
+    return march(x, y, c, s, tmap, cfg)
 
 
 def scan(pose, key, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):

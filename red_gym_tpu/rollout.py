@@ -24,11 +24,12 @@ def batched_reset(cfg: SimConfig, params: EnvParams, poses, keys,
     """Reset E envs at poses (E, A, 3) with keys (E,).
 
     ``map_axis=0`` means params.tmap carries a leading env axis (different
-    track per env); otherwise one map is shared by all envs.
+    track per env); otherwise one map is shared by all envs.  Jitted —
+    eager vmap would dispatch per-op.
     """
     in_axes = (_params_axes(map_axis), 0, 0)
-    return jax.vmap(lambda p, po, k: reset(cfg, p, po, k), in_axes=in_axes)(
-        params, poses, keys)
+    f = jax.jit(jax.vmap(lambda p, po, k: reset(cfg, p, po, k), in_axes=in_axes))
+    return f(params, poses, keys)
 
 
 def _params_axes(map_axis):
@@ -45,8 +46,8 @@ def batched_step(cfg: SimConfig, params: EnvParams, states, actions,
                  map_axis: Optional[int] = None):
     """Step E envs: states batched (E, ...), actions (E, A, 2)."""
     in_axes = (_params_axes(map_axis), 0, 0)
-    return jax.vmap(lambda p, s, a: step(cfg, p, s, a), in_axes=in_axes)(
-        params, states, actions)
+    f = jax.jit(jax.vmap(lambda p, s, a: step(cfg, p, s, a), in_axes=in_axes))
+    return f(params, states, actions)
 
 
 class RolloutCarry(NamedTuple):

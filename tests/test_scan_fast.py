@@ -1,0 +1,90 @@
+"""Fast-mode (range texture) lidar accuracy and behavioral tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from red_gym_tpu.config import Integrator, SimConfig
+from red_gym_tpu.maps.loader import load_map
+from red_gym_tpu.ops import scan as scan_ops, scan_fast
+from red_gym_tpu import env as envlib
+from red_gym_tpu.agents import pure_pursuit as pp
+
+MAP_YAML = "/root/reference/examples/example_map.yaml"
+# coarse texture settings keep the CPU-test precompute cheap
+CFG = SimConfig(num_agents=1, num_beams=270, dtype="float64",
+                scan_mode="fast", rt_theta_bins=128, rt_pose_stride=4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tmap = load_map(MAP_YAML, ".png", dtype=jnp.float64)
+    tables = scan_ops.build_tables(CFG, 0.31, 0.58, dtype=jnp.float64)
+    rtex = scan_fast.build_range_texture(tmap, CFG)
+    return tmap, tables, rtex
+
+
+def test_fast_vs_exact_error(setup):
+    """Median beam error small; bulk of beams within the texture cell size."""
+    tmap, tables, rtex = setup
+    rng = np.random.default_rng(0)
+    # random free poses well inside the track
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < 16:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 1.0:
+            poses.append([c * res + float(tmap.orig_x) + res / 2,
+                          r * res + float(tmap.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    poses = jnp.asarray(poses)
+
+    exact = np.asarray(scan_ops.trace(poses, tables, tmap, CFG))
+    fast = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, CFG))
+    err = np.abs(exact - fast)
+    cell = float(rtex.cell)
+    assert np.median(err) < 0.5 * cell, f"median err {np.median(err):.3f}m"
+    assert np.quantile(err, 0.9) < 4 * cell, f"p90 err {np.quantile(err, 0.9):.3f}m"
+    assert np.all(fast >= 0) and np.all(fast <= CFG.max_range)
+
+
+def test_fast_mode_env_laps_track(setup):
+    """The pure-pursuit car still completes laps with fast-mode lidar (the
+    trajectory itself is scan-independent; this exercises the full env)."""
+    params = envlib.make_params(CFG, MAP_YAML, ".png")
+    assert params.rtex is not None
+    wpts = pp.load_waypoints_csv("/root/reference/examples/example_waypoints.csv",
+                                 dtype=jnp.float64)
+    ppp = pp.make_params(wpts)
+
+    def body(carry, _):
+        state, obs = carry
+        speed, steer = pp.plan(obs.poses_x[0], obs.poses_y[0],
+                               obs.poses_theta[0], ppp)
+        state, obs, _, done, _ = envlib.step(
+            CFG, params, state, jnp.stack([steer, speed])[None, :])
+        return (state, obs), (done, obs.collisions[0])
+
+    state, obs, *_ = envlib.reset(
+        CFG, params, jnp.asarray([[0.7, 0.0, 1.37079632679]]),
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def rollout(s, o):
+        return jax.lax.scan(body, (s, o), None, length=4000)
+
+    (state, obs), (dones, colls) = rollout(state, obs)
+    assert not np.any(np.asarray(colls) > 0), "fast-mode lidar caused a phantom collision"
+    assert np.asarray(dones).any(), "lap did not complete in fast mode"
+
+
+def test_texture_shapes(setup):
+    tmap, tables, rtex = setup
+    hc, wc = int(rtex.hc), int(rtex.wc)
+    assert rtex.rt.shape == (hc * wc, CFG.rt_theta_bins)
+    assert rtex.valid.shape == (hc * wc,)
+    # occupied rows are zeroed
+    occ_rows = np.asarray(rtex.rt)[~np.asarray(rtex.valid)]
+    assert occ_rows.size == 0 or np.all(occ_rows == 0)
