@@ -34,8 +34,8 @@ def spline_moments(xs, ys):
     """
     n = xs.shape[0]
     h = xs[1:] - xs[:-1]                       # (N-1,)
-    a = jnp.zeros((n, n))
-    b = jnp.zeros((n,))
+    a = jnp.zeros((n, n), dtype=ys.dtype)
+    b = jnp.zeros((n,), dtype=ys.dtype)
     # interior moment equations
     i = jnp.arange(1, n - 1)
     a = a.at[i, i - 1].set(h[:-1] / 6.0)
@@ -96,7 +96,7 @@ def _condense(A, B, Q, R, Qf, horizon):
             if c <= r:
                 row.append(jnp.linalg.matrix_power(A, r - c) @ B)
             else:
-                row.append(jnp.zeros((nx, nu)))
+                row.append(jnp.zeros((nx, nu), dtype=B.dtype))
         blocks.append(jnp.concatenate(row, axis=1))
     Gamma = jnp.concatenate(blocks, axis=0)                           # (H*nx, H*nu)
 
@@ -111,17 +111,19 @@ def admm_box_qp(Hmat, g, lo, hi, rho: float = 1.0, iters: int = 60):
     """min 0.5 u'Hu + g'u  s.t. lo <= u <= hi, via scaled ADMM with a
     precomputed Cholesky factor.  Fixed iteration count keeps it jittable."""
     n = g.shape[0]
-    L = jnp.linalg.cholesky(Hmat + rho * jnp.eye(n))
+    dt = Hmat.dtype
+    L = jnp.linalg.cholesky(Hmat + rho * jnp.eye(n, dtype=dt))
 
     def body(carry, _):
         z, lam = carry
-        rhs = -g + rho * (z - lam)
+        rhs = -g.astype(dt) + rho * (z - lam)
         u = jax.scipy.linalg.cho_solve((L, True), rhs)
         z = jnp.clip(u + lam, lo, hi)
         lam = lam + u - z
         return (z, lam), None
 
-    (z, _), _ = jax.lax.scan(body, (jnp.zeros(n), jnp.zeros(n)), None, length=iters)
+    (z, _), _ = jax.lax.scan(body, (jnp.zeros(n, dt), jnp.zeros(n, dt)),
+                             None, length=iters)
     return z
 
 

@@ -1,0 +1,91 @@
+"""Path-planning env (SACF110Env equivalent) and bitmap reward tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from red_gym_tpu.config import SimConfig
+from red_gym_tpu import env as envlib
+from red_gym_tpu.agents import planning_env as pe
+from red_gym_tpu.ops import bitmap_rewards as br
+
+MAP_YAML = "/root/reference/examples/example_map.yaml"
+CFG = SimConfig(num_agents=1, num_beams=1080, timestep=0.015, dtype="float32")
+
+
+def test_decode_action_matches_reference_math():
+    """Angle-clamped decode equals a numpy restatement of SAL.py:585-608."""
+    pcfg = pe.default_plan_config()
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        raw = rng.uniform(-1, 1, 16).astype(np.float32)
+        got = np.asarray(pe.decode_action(jnp.asarray(raw), pcfg))
+
+        v = raw.reshape(8, 2).astype(np.float64)
+        v = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-8)
+        want = np.zeros_like(v)
+        want[0] = [1, 0]
+        prev = 0.0
+        for i in range(1, 8):
+            desired = np.arctan2(v[i, 1], v[i, 0])
+            diff = (desired - prev + np.pi) % (2 * np.pi) - np.pi
+            ang = prev + np.clip(diff, -np.deg2rad(10), np.deg2rad(10))
+            want[i] = [np.cos(ang), np.sin(ang)]
+            prev = ang
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # consecutive segments never exceed the clamp
+        angs = np.arctan2(got[:, 1], got[:, 0])
+        d = np.abs((np.diff(angs) + np.pi) % (2 * np.pi) - np.pi)
+        assert np.all(d <= np.deg2rad(10) + 1e-5)
+
+
+def test_planning_env_runs_and_replans():
+    params = envlib.make_params(CFG, MAP_YAML, ".png")
+    env = pe.PlanningEnv(CFG, params)
+    ps = env.reset(jnp.asarray([[0.7, 0.0, 1.37079632679]], jnp.float32),
+                   jax.random.PRNGKey(0))
+    assert int(ps.sub_index) == pe.PATH_LEN  # replan forced on first step
+
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(1)
+    rewards = []
+    for t in range(8):
+        key, k = jax.random.split(key)
+        act = jax.random.uniform(k, (16,), jnp.float32, -1, 1)
+        ps, bitmap, reward, done, info = step(ps, act)
+        rewards.append(float(reward))
+        assert bitmap.shape == (256, 256) and bitmap.dtype == jnp.uint8
+    # the car replanned on step one: path now non-zero, index in range
+    assert float(jnp.abs(ps.path).sum()) > 0
+    assert 0 <= int(ps.sub_index) <= pe.PATH_LEN
+    assert np.all(np.isfinite(rewards))
+
+
+def test_bitmap_reward_helpers():
+    # synthetic corridor bitmap: white drivable band between black walls
+    img = np.zeros((256, 256), np.uint8)
+    img[:, 100:156] = 255
+    img = jnp.asarray(img)
+
+    # centered car: near-zero distance, reward ~1
+    d = float(br.distance_from_row_center(img, 128, 50))
+    assert abs(d - 0.5) < 1.0
+    r = float(br.centerline_reward(img, 128, 50))
+    assert r > 0.95
+    # off-track car (in the black region): invalid -> -1
+    assert float(br.centerline_reward(img, 20, 50)) == -1.0
+    # collision detection: next to the wall edge (white neighbors)
+    assert bool(br.detect_collision(img, 99, 50))
+    assert not bool(br.detect_collision(img, 20, 50))
+    # wall normal near the left wall boundary points along +/-x
+    n = np.asarray(br.get_wall_normal(img, 100, 128))
+    assert abs(n[0]) > 0.9 and abs(n[1]) < 0.3
+
+
+def test_collision_angle_penalty_range():
+    img = np.zeros((256, 256), np.uint8)
+    img[:, 100:156] = 255
+    p = float(br.collision_angle_penalty(jnp.asarray(img), 99, 128))
+    assert -1.0 <= p <= 0.0 and p < 0.0  # colliding -> negative penalty
+    p2 = float(br.collision_angle_penalty(jnp.asarray(img), 20, 128))
+    assert p2 == 0.0
