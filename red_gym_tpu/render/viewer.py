@@ -1,0 +1,108 @@
+"""Host-side visualization (out of the sim hot path).
+
+Counterpart of the reference pyglet EnvRenderer (reference:
+gym/f110_gym/envs/rendering.py:50-335) rebuilt on matplotlib so it works
+headless (Agg) as well as interactively: map raster, car body polygons,
+lap-time/count caption, camera follow, and user draw callbacks (the
+mechanism SAL uses to draw planned paths, reference src/SAL.py:938-969).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from red_gym_tpu.ops.collision import get_vertices
+
+
+class Viewer:
+    """Stateful renderer fed from EnvState snapshots."""
+
+    def __init__(self, env_params, cfg, figsize=(8, 8), follow: bool = True,
+                 window: float = 15.0):
+        import matplotlib
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self.cfg = cfg
+        self.follow = follow
+        self.window = window
+        self.fig, self.ax = plt.subplots(figsize=figsize)
+        self._cars = []
+        self._caption = None
+        self._extra_artists = []
+        self._state = None
+
+        tmap = env_params.tmap
+        occ = np.asarray(tmap.occupancy)
+        res = float(np.asarray(tmap.resolution))
+        ox, oy = float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y))
+        h, w = occ.shape
+        self.ax.imshow(occ, cmap="gray", origin="lower",
+                       extent=[ox, ox + w * res, oy, oy + h * res])
+        self.ax.set_aspect("equal")
+        self._veh = env_params.vehicle
+
+    # -- data feed -----------------------------------------------------------
+    def update(self, env_state):
+        self._state = env_state
+
+    # -- callback drawing API (SAL render_arrow compatibility) ----------------
+    def draw_polyline(self, points, color="lime", lw=1.5):
+        """Draw a world-frame polyline; cleared and redrawn each frame."""
+        (ln,) = self.ax.plot(np.asarray(points)[:, 0], np.asarray(points)[:, 1],
+                             color=color, lw=lw)
+        self._extra_artists.append(ln)
+
+    def draw_points(self, points, color="cornflowerblue", s=2):
+        sc = self.ax.scatter(np.asarray(points)[:, 0], np.asarray(points)[:, 1],
+                             c=color, s=s)
+        self._extra_artists.append(sc)
+
+    # -- frame ---------------------------------------------------------------
+    def draw(self, block: bool = False, save_path: str | None = None):
+        import matplotlib.patches as mpatches
+
+        for c in self._cars:
+            c.remove()
+        self._cars = []
+        if self._state is None:
+            return
+
+        x = np.asarray(self._state.x)
+        length = float(np.asarray(self._veh.length).ravel()[0])
+        width = float(np.asarray(self._veh.width).ravel()[0])
+        colors = ["tab:red", "tab:blue", "tab:orange", "tab:green"]
+        for i in range(x.shape[0]):
+            pose = np.array([x[i, 0], x[i, 1], x[i, 4]])
+            verts = np.asarray(get_vertices(pose, length, width))
+            poly = mpatches.Polygon(verts, closed=True,
+                                    color=colors[i % len(colors)])
+            self.ax.add_patch(poly)
+            self._cars.append(poly)
+
+        lap_t = np.asarray(self._state.lap_times)
+        lap_c = np.asarray(self._state.lap_counts)
+        cap = f"t={float(np.asarray(self._state.current_time)):.2f}s  " \
+              f"laps={lap_c.tolist()}  lap_times={np.round(lap_t, 2).tolist()}"
+        if self._caption is None:
+            self._caption = self.ax.set_title(cap, fontsize=9)
+        else:
+            self._caption.set_text(cap)
+
+        if self.follow:
+            cx, cy = x[self.cfg.ego_idx, 0], x[self.cfg.ego_idx, 1]
+            self.ax.set_xlim(cx - self.window, cx + self.window)
+            self.ax.set_ylim(cy - self.window, cy + self.window)
+
+        if save_path:
+            self.fig.savefig(save_path, dpi=110)
+        else:
+            self.fig.canvas.draw_idle()
+            self._plt.pause(0.001) if block else None
+
+        for a in self._extra_artists:
+            a.remove()
+        self._extra_artists = []
+
+    def close(self):
+        self._plt.close(self.fig)
