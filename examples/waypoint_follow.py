@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from red_gym_tpu.utils import platform as _platform  # noqa: E402
+_platform.apply()
+
 from red_gym_tpu.config import Integrator, SimConfig, VehicleParams  # noqa: E402
 from red_gym_tpu import env as envlib  # noqa: E402
 from red_gym_tpu.agents import pure_pursuit as pp  # noqa: E402
