@@ -162,8 +162,8 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     # (base_classes.py:117,202).
     rng, sub = jax.random.split(state.rng)
     if cfg.scan_mode == "fast":
-        scans = scan_fast.trace_fast(poses, params.tables, params.tmap,
-                                     params.rtex, cfg)
+        scans = scan_fast.trace_fast_mxu(poses, params.tables, params.tmap,
+                                         params.rtex, cfg)
     else:
         scans = scan_ops.trace(poses, params.tables, params.tmap, cfg)
     if cfg.scan_noise_std > 0:

@@ -97,25 +97,17 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                         cell=jnp.asarray(cell, dtype))
 
 
-def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
-               rtex: RangeTexture, cfg: SimConfig):
-    """Scan via the range texture: pose (..., 3) -> (..., num_beams).
+def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
+    """Shared geometry for the fast lookups: bilinear cells + theta coords.
 
-    Bilinear over the 4 surrounding texture cells (invalid cells dropped and
-    weights renormalized) x linear over the 2 neighboring theta bins.
-    """
+    Returns (rows (..., 4), wgt (..., 4), wsum (..., 1), u (..., B))."""
     t_bins = cfg.rt_theta_bins
     dtype = rtex.rt.dtype
     two_pi = 2.0 * math.pi
 
-    # beam world angles
     phi = pose[..., 2:3] + tables.scan_angles                   # (..., B)
     u = jnp.mod(phi, two_pi) * (t_bins / two_pi)
-    i0 = jnp.floor(u).astype(jnp.int32) % t_bins
-    i1 = (i0 + 1) % t_bins
-    a = (u - jnp.floor(u)).astype(dtype)[..., None, :]          # (..., 1, B)
 
-    # map-rotated grid coords of the pose
     x_t = pose[..., 0] - tmap.orig_x
     y_t = pose[..., 1] - tmap.orig_y
     gx = (x_t * tmap.orig_c + y_t * tmap.orig_s) / rtex.cell - 0.5
@@ -125,19 +117,67 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     fx = (gx - c0).astype(dtype)
     fy = (gy - r0).astype(dtype)
 
-    wc = rtex.wc
-    hc = rtex.hc
-    # 4 neighbor cells (..., 4)
+    wc, hc = rtex.wc, rtex.hc
     rr = jnp.stack([r0, r0, r0 + 1, r0 + 1], axis=-1)
     cc = jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=-1)
     wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                      fy * (1 - fx), fy * fx], axis=-1).astype(dtype)
     in_bounds = (rr >= 0) & (rr < hc) & (cc >= 0) & (cc < wc)
-    rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)  # (..., 4)
+    rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)
 
     ok = in_bounds & jnp.take(rtex.valid, rows)
     wgt = wgt * ok.astype(dtype)
-    wsum = jnp.sum(wgt, axis=-1, keepdims=True)                  # (..., 1)
+    wsum = jnp.sum(wgt, axis=-1, keepdims=True)
+    return rows, wgt, wsum, u
+
+
+def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
+                   rtex: RangeTexture, cfg: SimConfig):
+    """MXU formulation of the fast scan: zero random element gathers.
+
+    Per agent: gather the 4 texture ROWS (contiguous 512B slices — the fast
+    XLA gather path), blend them spatially, then perform the circular linear
+    theta-interpolation as one matmul against a triangular interpolation
+    kernel W (..., B, T) — i.e. the 'one-hot gather on the systolic array'
+    trick, with the lerp folded into the one-hot weights.  Identical math to
+    trace_fast, ~10-100x fewer scalar gathers.
+    """
+    t_bins = cfg.rt_theta_bins
+    dtype = rtex.rt.dtype
+    rows, wgt, wsum, u = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+
+    rows_v = jnp.take(rtex.rt, rows, axis=0)                    # (..., 4, T)
+    wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
+    blended = jnp.einsum("...ct,...c->...t", rows_v, wnorm)     # (..., T)
+
+    # circular triangular kernel == linear interp between neighboring bins
+    tgrid = jnp.arange(t_bins, dtype=dtype)
+    d = jnp.abs(u[..., :, None] - tgrid)                        # (..., B, T)
+    d = jnp.minimum(d, t_bins - d)
+    w_theta = jnp.maximum(0.0, 1.0 - d).astype(dtype)
+    out = jnp.einsum("...bt,...t->...b", w_theta, blended,
+                     preferred_element_type=dtype)
+
+    out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)
+    return jnp.clip(out, 0.0, cfg.max_range)
+
+
+def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
+               rtex: RangeTexture, cfg: SimConfig):
+    """Scan via the range texture: pose (..., 3) -> (..., num_beams).
+
+    Bilinear over the 4 surrounding texture cells (invalid cells dropped and
+    weights renormalized) x linear over the 2 neighboring theta bins —
+    element-gather formulation (8 gathers/beam).  Prefer trace_fast_mxu on
+    TPU; this variant is the readable definition both are tested against.
+    """
+    t_bins = cfg.rt_theta_bins
+    dtype = rtex.rt.dtype
+    rows, wgt, wsum, u = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+
+    i0 = jnp.floor(u).astype(jnp.int32) % t_bins
+    i1 = (i0 + 1) % t_bins
+    a = (u - jnp.floor(u)).astype(dtype)[..., None, :]           # (..., 1, B)
 
     flat0 = rows[..., :, None] * t_bins + i0[..., None, :]       # (..., 4, B)
     flat1 = rows[..., :, None] * t_bins + i1[..., None, :]

@@ -80,6 +80,24 @@ def test_fast_mode_env_laps_track(setup):
     assert np.asarray(dones).any(), "lap did not complete in fast mode"
 
 
+def test_mxu_variant_matches_gather_variant(setup):
+    """trace_fast_mxu (matmul interpolation) == trace_fast (element gather)."""
+    tmap, tables, rtex = setup
+    rng = np.random.default_rng(3)
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < 8:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 0.5:
+            poses.append([c * res + float(tmap.orig_x), r * res + float(tmap.orig_y),
+                          rng.uniform(0, 2 * np.pi)])
+    poses = jnp.asarray(poses)
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, CFG))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, CFG))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
+
+
 def test_texture_shapes(setup):
     tmap, tables, rtex = setup
     hc, wc = int(rtex.hc), int(rtex.wc)
