@@ -19,7 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 import yaml
 from PIL import Image
-from scipy.ndimage import distance_transform_edt
+
+from red_gym_tpu.native import edt
 
 
 class TrackMap(NamedTuple):
@@ -69,7 +70,7 @@ def load_map(map_yaml_path: str, map_ext: str = ".png", dtype=jnp.float32,
     occ = load_map_image(image_path)
     h, w = occ.shape
 
-    dt = resolution * distance_transform_edt(occ)
+    dt = edt(occ, resolution)
 
     if pad_to is not None:
         ph, pw = pad_to
