@@ -122,16 +122,13 @@ def ray_cast_all_opponents(poses, scans, all_vertices, tables: ScanTables):
 
 def _pairwise(poses, scans, all_vertices, tables: ScanTables):
     num_agents = poses.shape[0]
-    # broadcast: i = scanning agent axis, j = opponent axis
+    # i = scanning agent axis, j = opponent axis.  Size-1 axes (not
+    # broadcast_to) so per-beam trig inside get_range evaluates at (A, 1, B)
+    # — values identical, A-fold less transcendental work.
     pose_i = poses[:, None, :]                       # (A, 1, 3)
     scan_i = scans[:, None, :]                       # (A, 1, B)
     verts_j = all_vertices[None, :, :, :]            # (1, A, 4, 2)
-    cut = ray_cast_opponent(
-        jnp.broadcast_to(pose_i, (num_agents, num_agents, 3)),
-        jnp.broadcast_to(scan_i, (num_agents, num_agents, scans.shape[-1])),
-        jnp.broadcast_to(verts_j, (num_agents, num_agents, 4, 2)),
-        tables,
-    )                                                # (A, A, B)
+    cut = ray_cast_opponent(pose_i, scan_i, verts_j, tables)  # (A, A, B)
     eye = jnp.eye(num_agents, dtype=bool)[:, :, None]
     cut = jnp.where(eye, jnp.inf, cut)               # ignore self
     return jnp.minimum(scans, jnp.min(cut, axis=1))
