@@ -24,7 +24,7 @@ from red_gym_tpu.config import Integrator, SimConfig
 from red_gym_tpu import env as envlib
 from red_gym_tpu.assets import example_map_yaml
 
-N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
+N_ENVS = int(os.environ.get("BENCH_ENVS", 16384))
 N_AGENTS = 2
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
@@ -52,18 +52,21 @@ def main():
             act = jnp.stack([steer, speed], axis=-1)
             s, obs, r, d, _ = jax.vmap(
                 lambda ss, aa: envlib.step(cfg, params, ss, aa))(s, act)
-            return (s, k), d
-        (s, _), dones = jax.lax.scan(body, (states, key), None, length=STEPS)
-        return s, dones
+            # consume the full observation every step (a policy would): keeps
+            # XLA from dead-code-eliminating the scan/raycast pipeline
+            return (s, k), (d, jnp.sum(obs.scans))
+        (s, _), (dones, ssum) = jax.lax.scan(
+            body, (states, key), None, length=STEPS)
+        return s, dones, ssum
 
     # warmup / compile
-    s, dones = run(params, states, jax.random.PRNGKey(1))
-    float(jnp.sum(s.x))  # force full execution (block_until_ready does not
-    # reliably block through the axon relay)
+    s, dones, ssum = run(params, states, jax.random.PRNGKey(1))
+    float(jnp.sum(s.x) + jnp.sum(ssum))  # force full execution
+    # (block_until_ready does not reliably block through the axon relay)
 
     t0 = time.time()
-    s, dones = run(params, states, jax.random.PRNGKey(2))
-    float(jnp.sum(s.x))
+    s, dones, ssum = run(params, states, jax.random.PRNGKey(2))
+    float(jnp.sum(s.x) + jnp.sum(ssum))
     dt = time.time() - t0
 
     rate = N_ENVS * STEPS / dt

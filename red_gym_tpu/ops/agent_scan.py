@@ -22,11 +22,15 @@ def check_ttc(scan, vel, tables: ScanTables, ttc_thresh):
     Vectorized min-reduce form of reference check_ttc_jit
     (laser_models.py:188-217): collision iff any beam's
     (range - side_distance) / (v * cos(angle)) lands in [0, thresh).
+    The quotient test is evaluated in multiplied-out form — sign-split on
+    the denominator — so the hot path carries no per-beam division.
     scan (..., B), vel (...) -> bool (...).
     """
     proj_vel = vel[..., None] * tables.beam_cosines
-    ttc = (scan - tables.side_distances) / proj_vel
-    hit = (ttc < ttc_thresh) & (ttc >= 0.0)
+    num = scan - tables.side_distances
+    hit = jnp.where(proj_vel > 0,
+                    (num >= 0) & (num < ttc_thresh * proj_vel),
+                    (proj_vel < 0) & (num <= 0) & (num > ttc_thresh * proj_vel))
     return jnp.any(hit, axis=-1) & (vel != 0.0)
 
 
@@ -71,8 +75,11 @@ def blocked_view_mask(pose, vertices, tables: ScanTables):
     """Beam mask [min_ind, max_ind] blocked by an opponent body.
 
     Vectorized reference get_blocked_view_indices (laser_models.py:283-315):
-    the four pose->vertex bearings are snapped to the nearest beam via argmin
-    and the min..max index range becomes a boolean mask over beams.
+    the four pose->vertex bearings are snapped to the nearest beam and the
+    min..max index range becomes a boolean mask over beams.  The beam table
+    is a uniform grid, so the reference's argmin over all beams is computed
+    arithmetically (round to the grid) instead of materializing a
+    (..., 4, B) difference tensor.
     pose (..., 3), vertices (..., 4, 2) -> bool (..., B).
     """
     vecs = vertices - pose[..., None, 0:2]
@@ -81,31 +88,95 @@ def blocked_view_mask(pose, vertices, tables: ScanTables):
     rel = _wrap_pi(ego_angle[..., None] - unit_angle)
     bearings = -rel                                               # (..., 4)
 
-    diff = jnp.abs(tables.scan_angles - bearings[..., None])      # (..., 4, B)
-    inds = jnp.argmin(diff, axis=-1)                              # (..., 4)
+    n_b = tables.scan_angles.shape[0]
+    a0 = tables.scan_angles[0]
+    incr = (tables.scan_angles[-1] - a0) / (n_b - 1)
+    inds = jnp.clip(jnp.round((bearings - a0) / incr), 0, n_b - 1)
+    inds = inds.astype(jnp.int32)                                 # (..., 4)
     lo = jnp.min(inds, axis=-1)[..., None]
     hi = jnp.max(inds, axis=-1)[..., None]
-    beam_idx = jnp.arange(tables.scan_angles.shape[0])
+    beam_idx = jnp.arange(n_b)
     return (beam_idx >= lo) & (beam_idx <= hi)
 
 
-def ray_cast_opponent(pose, scan, vertices, tables: ScanTables):
+def beam_dirs(pose_theta, tables: ScanTables):
+    """World-frame unit direction of every beam: (...,) -> (..., B, 2).
+
+    Angle addition against the static per-beam sin/cos tables — two
+    transcendentals per agent instead of two per beam."""
+    ct, st = jnp.cos(pose_theta)[..., None], jnp.sin(pose_theta)[..., None]
+    dx = ct * tables.beam_cosines - st * tables.beam_sines
+    dy = st * tables.beam_cosines + ct * tables.beam_sines
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def _slab(o_u, o_w, d_u, d_w, hu, hw):
+    """Ray-vs-OBB slab intersection in the opponent's body frame.
+
+    Origin (o_u, o_w) and direction (d_u, d_w) in box axes, half extents
+    (hu, hw); returns the nonnegative ray parameter of the hit or +inf.
+    Equivalent to the min over the reference's four per-edge intersections
+    (laser_models.py:250-346) with a fixed cost of two divisions per beam
+    and no edge axis at all.
+    """
+    inf = jnp.asarray(jnp.inf, d_u.dtype)
+
+    def axis(o, d, h):
+        inv = 1.0 / d
+        t1 = (-h - o) * inv
+        t2 = (h - o) * inv
+        near = jnp.minimum(t1, t2)
+        far = jnp.maximum(t1, t2)
+        # parallel beam: inside the slab -> (-inf, inf), outside -> miss.
+        # (also rescues the 0 * inf = NaN case, which only arises here)
+        par = d == 0.0
+        inside = jnp.abs(o) <= h
+        near = jnp.where(par, jnp.where(inside, -inf, inf), near)
+        far = jnp.where(par, jnp.where(inside, inf, -inf), far)
+        return near, far
+
+    near_u, far_u = axis(o_u, d_u, hu)
+    near_w, far_w = axis(o_w, d_w, hw)
+    tmin = jnp.maximum(near_u, near_w)
+    tmax = jnp.minimum(far_u, far_w)
+    hit = (tmax >= tmin) & (tmax >= 0.0)
+    t = jnp.where(tmin >= 0.0, tmin, tmax)   # from inside: exit distance
+    return jnp.where(hit, t, inf)
+
+
+def ray_cast_opponent(pose, scan, vertices, tables: ScanTables, dirs=None):
     """Shorten scan beams blocked by one opponent rectangle.
 
     Reference ray_cast (laser_models.py:319-346): within the blocked window,
-    each beam takes the min over its current range and the 4 edge
-    intersections.  pose (..., 3), scan (..., B), vertices (..., 4, 2).
+    each beam takes the min over its current range and the body intersection
+    (slab form — same geometry as the reference's 4 per-edge tests).
+    pose (..., 3), scan (..., B), vertices (..., 4, 2).  Pass precomputed
+    ``dirs`` = beam_dirs(pose_theta) to share them across opponents.
     """
     mask = blocked_view_mask(pose, vertices, tables)
+    if dirs is None:
+        dirs = beam_dirs(pose[..., 2], tables)            # (..., B, 2)
 
-    va = vertices                                   # (..., 4, 2)
-    vb = jnp.roll(vertices, -1, axis=-2)
-    beam_theta = pose[..., 2:3] + tables.scan_angles            # (..., B)
-    ranges = get_range(pose[..., None, None, :],
-                       beam_theta[..., None, :],                 # (..., 1, B)
-                       va[..., :, None, :], vb[..., :, None, :])  # (..., 4, B)
-    nearest = jnp.min(ranges, axis=-2)                           # (..., B)
-    return jnp.where(mask, jnp.minimum(scan, nearest), scan)
+    # opponent box frame from its corners (get_vertices ordering:
+    # [rear-left, rear-right, front-right, front-left])
+    center = jnp.mean(vertices, axis=-2)                   # (..., 2)
+    e_l = vertices[..., 3, :] - vertices[..., 0, :]        # length axis
+    e_w = vertices[..., 0, :] - vertices[..., 1, :]        # width axis
+    len_l = jnp.linalg.norm(e_l, axis=-1, keepdims=True)
+    len_w = jnp.linalg.norm(e_w, axis=-1, keepdims=True)
+    u = e_l / len_l
+    w = e_w / len_w
+    hu = 0.5 * len_l                                       # (..., 1)
+    hw = 0.5 * len_w
+
+    o = pose[..., 0:2] - center                            # (..., 2)
+    o_u = jnp.sum(o * u, axis=-1, keepdims=True)           # (..., 1)
+    o_w = jnp.sum(o * w, axis=-1, keepdims=True)
+    d_u = dirs[..., 0] * u[..., 0:1] + dirs[..., 1] * u[..., 1:2]  # (..., B)
+    d_w = dirs[..., 0] * w[..., 0:1] + dirs[..., 1] * w[..., 1:2]
+
+    t = _slab(o_u, o_w, d_u, d_w, hu, hw)                  # (..., B)
+    return jnp.where(mask, jnp.minimum(scan, t), scan)
 
 
 def ray_cast_all_opponents(poses, scans, all_vertices, tables: ScanTables):
@@ -113,22 +184,16 @@ def ray_cast_all_opponents(poses, scans, all_vertices, tables: ScanTables):
 
     poses (A, 3), scans (A, B), all_vertices (A, 4, 2) -> (A, B).
     Equivalent to the reference's sequential per-opponent loop
-    (base_classes.py:204-225) because min-accumulation commutes.
+    (base_classes.py:204-225) because min-accumulation commutes.  Opponents
+    are paired by rolling the vertex array A-1 times: A(A-1) beam-sized
+    evaluations, no self-pair waste, shared beam directions.
     """
-    if poses.shape[0] == 1:
-        return scans
-    return _pairwise(poses, scans, all_vertices, tables)
-
-
-def _pairwise(poses, scans, all_vertices, tables: ScanTables):
     num_agents = poses.shape[0]
-    # i = scanning agent axis, j = opponent axis.  Size-1 axes (not
-    # broadcast_to) so per-beam trig inside get_range evaluates at (A, 1, B)
-    # — values identical, A-fold less transcendental work.
-    pose_i = poses[:, None, :]                       # (A, 1, 3)
-    scan_i = scans[:, None, :]                       # (A, 1, B)
-    verts_j = all_vertices[None, :, :, :]            # (1, A, 4, 2)
-    cut = ray_cast_opponent(pose_i, scan_i, verts_j, tables)  # (A, A, B)
-    eye = jnp.eye(num_agents, dtype=bool)[:, :, None]
-    cut = jnp.where(eye, jnp.inf, cut)               # ignore self
-    return jnp.minimum(scans, jnp.min(cut, axis=1))
+    if num_agents == 1:
+        return scans
+    dirs = beam_dirs(poses[..., 2], tables)                # (A, B, 2)
+    out = scans
+    for k in range(1, num_agents):
+        verts_k = jnp.roll(all_vertices, -k, axis=0)       # opponent (i+k)%A
+        out = ray_cast_opponent(poses, out, verts_k, tables, dirs)
+    return out

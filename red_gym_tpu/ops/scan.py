@@ -36,6 +36,7 @@ class ScanTables(NamedTuple):
     cosines: jnp.ndarray         # (theta_dis,)
     scan_angles: jnp.ndarray     # (num_beams,) beam angle in body frame
     beam_cosines: jnp.ndarray    # (num_beams,) cos(scan_angles)
+    beam_sines: jnp.ndarray      # (num_beams,) sin(scan_angles)
     side_distances: jnp.ndarray  # (num_beams,) lidar->car-edge distance
 
 
@@ -50,6 +51,7 @@ def build_tables(cfg: SimConfig, width: float, length: float,
     incr = cfg.fov / (cfg.num_beams - 1)
     angles = -cfg.fov / 2.0 + np.arange(cfg.num_beams) * incr
     beam_cos = np.cos(angles)
+    beam_sin = np.sin(angles)
 
     # distance from the lidar (car center) to the body edge along each beam
     # (reference base_classes.py:127-156, quadrant-literal formulas kept)
@@ -81,6 +83,7 @@ def build_tables(cfg: SimConfig, width: float, length: float,
         cosines=jnp.asarray(cosines, dtype=dtype),
         scan_angles=jnp.asarray(angles, dtype=dtype),
         beam_cosines=jnp.asarray(beam_cos, dtype=dtype),
+        beam_sines=jnp.asarray(beam_sin, dtype=dtype),
         side_distances=jnp.asarray(side_distances, dtype=dtype),
     )
 
