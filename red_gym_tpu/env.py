@@ -175,9 +175,11 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     verts = col.get_vertices(poses, p.length, p.width)
     body_hits, _ = col.collision_multiple(verts)
 
-    # iTTC against walls -> freeze dynamic state (base_classes.py:227-252)
+    # iTTC against walls -> freeze dynamic state (base_classes.py:227-252);
+    # single fused elementwise mask, not a scatter-then-select
     ttc_hit = agent_scan.check_ttc(scans, x[:, 3], params.tables, cfg.ttc_thresh)
-    x = jnp.where(ttc_hit[:, None], x.at[:, 3:].set(0.0), x)
+    freeze = ttc_hit[:, None] & (jnp.arange(x.shape[-1]) >= 3)
+    x = jnp.where(freeze, 0.0, x)
 
     # opponent ray casting on the fused scans (base_classes.py:204-225)
     scans = agent_scan.ray_cast_all_opponents(poses, scans, verts, params.tables)

@@ -44,8 +44,8 @@ class RangeTexture(NamedTuple):
     hc: jnp.ndarray        # int32 rows
     wc: jnp.ndarray        # int32 cols
     cell: jnp.ndarray      # cell size [m] = stride * map resolution
-    fmat: jnp.ndarray      # (T, 2F) real rfft matrix, F = T//2+1
-    gmat: jnp.ndarray      # (2F, 3B) irfft fused with the one-hot beam shuffle
+    fmat: jnp.ndarray      # (T, T) packed real rfft: [Re 0..T/2 | Im 1..T/2-1]
+    gmat: jnp.ndarray      # (T, 3B) packed irfft fused with the beam shuffle
 
 
 def build_range_texture(tmap: TrackMap, cfg: SimConfig,
@@ -116,13 +116,18 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         emat[(kb + t) % t_bins, t * b_n + np.arange(b_n)] = 1.0
 
     # DFT-domain exact integer roll: fmat = real rfft basis; gmat = inverse
-    # transform of the real/imag unit coefficients, fused with emat.
+    # transform of the real/imag unit coefficients, fused with emat.  The
+    # spectrum is PACKED to exactly T reals — [Re 0..T/2, Im 1..T/2-1] — by
+    # dropping the DC and Nyquist imaginaries, which are identically zero
+    # for real input and stay zero under integer-roll twiddles.  T = 128
+    # keeps both matmul contraction dims exactly one MXU tile.
     f_bins = t_bins // 2 + 1
     rf = np.fft.rfft(np.eye(t_bins), axis=1)                  # (T, F)
-    fmat = np.concatenate([rf.real, rf.imag], axis=1)         # (T, 2F)
+    fmat = np.concatenate([rf.real, rf.imag[:, 1:-1]], axis=1)  # (T, T)
     r_basis = np.fft.irfft(np.eye(f_bins), n=t_bins, axis=1)  # (F, T)
     s_basis = np.fft.irfft(1j * np.eye(f_bins), n=t_bins, axis=1)
-    gmat = np.concatenate([r_basis @ emat, s_basis @ emat], axis=0)  # (2F, 3B)
+    gmat = np.concatenate([r_basis @ emat,
+                           (s_basis @ emat)[1:-1]], axis=0)   # (T, 3B)
 
     return RangeTexture(rt=rt, valid=valid,
                         hc=jnp.asarray(hc, jnp.int32),
@@ -160,10 +165,12 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
     in_bounds = (rr >= 0) & (rr < hc) & (cc >= 0) & (cc < wc)
     rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)
 
-    ok = in_bounds & jnp.take(rtex.valid, rows)
-    wgt = wgt * ok.astype(dtype)
-    wsum = jnp.sum(wgt, axis=-1, keepdims=True)
-    return rows, wgt, wsum, u
+    # NB: weights here cover in-bounds only; callers must still drop
+    # invalid (occupied-center) cells.  trace_fast_mxu derives that from the
+    # gathered rows themselves (invalid rows are all-zero) — a per-element
+    # gather of rtex.valid costs ~1 ms/step at 16k envs on TPU.
+    wgt = wgt * in_bounds.astype(dtype)
+    return rows, wgt, u
 
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
@@ -195,27 +202,42 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     f_bins = t_bins // 2 + 1
     dtype = rtex.rt.dtype
     two_pi = 2.0 * math.pi
-    rows, wgt, wsum, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+    rows, wgt, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg)
 
     # per-agent theta decomposition (beam offsets enter via constant gmat)
     s = jnp.mod(pose[..., 2], two_pi) * (t_bins / two_pi)       # (...,)
     i_s = jnp.floor(s)
     f_s = (s - i_s).astype(dtype)
+    i_i = i_s.astype(jnp.int32)
     # s can round up to exactly T (theta just under 2pi): wrap, don't clamp
-    i_s = jnp.where(i_s >= t_bins, i_s - t_bins, i_s)
+    i_i = jnp.where(i_i >= t_bins, i_i - t_bins, i_i)
 
     rows_v = jnp.take(rtex.rt, rows, axis=0)                    # (..., 4, T)
+    # cell validity from the rows themselves: invalid (occupied-center)
+    # cells were zeroed at build time and valid cells always contain a
+    # positive range, so no separate valid-flag gather is needed
+    cell_ok = jnp.max(rows_v, axis=-1) > 0.0                    # (..., 4)
+    wgt = wgt * cell_ok.astype(dtype)
+    wsum = jnp.sum(wgt, axis=-1, keepdims=True)
     wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
-    blended = jnp.einsum("...ct,...c->...t", rows_v, wnorm)     # (..., T)
+    # explicit multiply-reduce (not dot_general) fuses with the gather
+    blended = jnp.sum(rows_v * wnorm[..., :, None], axis=-2)    # (..., T)
 
-    # exact integer roll by i_s in the DFT domain
+    # exact integer roll by i_i in the packed DFT domain.  Phases come from
+    # integer modular arithmetic so f=T/2 lands on exactly {0, pi} and its
+    # imaginary part stays (numerically) zero — the packed layout is closed
+    # under integer-roll twiddles.
     spec = jnp.matmul(blended, rtex.fmat,
-                      preferred_element_type=dtype)             # (..., 2F)
-    re, im = spec[..., :f_bins], spec[..., f_bins:]
-    phi = (two_pi / t_bins) * i_s[..., None] * jnp.arange(f_bins, dtype=dtype)
+                      preferred_element_type=dtype)             # (..., T)
+    re, im = spec[..., :f_bins], spec[..., f_bins:]             # (...,F),(...,F-2)
+    m = jnp.mod(i_i[..., None] * jnp.arange(f_bins, dtype=jnp.int32), t_bins)
+    phi = m.astype(dtype) * (two_pi / t_bins)                   # (..., F)
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
-    spec_r = jnp.concatenate([re * cphi - im * sphi,
-                              re * sphi + im * cphi], axis=-1)  # (..., 2F)
+    zero = jnp.zeros_like(re[..., 0:1])
+    im_full = jnp.concatenate([zero, im, zero], axis=-1)        # (..., F)
+    re_r = re * cphi - im_full * sphi
+    im_r = (re * sphi + im_full * cphi)[..., 1:-1]
+    spec_r = jnp.concatenate([re_r, im_r], axis=-1)             # (..., T)
     g = jnp.matmul(spec_r, rtex.gmat,
                    preferred_element_type=dtype)                # (..., 3B)
     g0, g1, g2 = g[..., :b_n], g[..., b_n:2 * b_n], g[..., 2 * b_n:]
@@ -242,7 +264,9 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     """
     t_bins = cfg.rt_theta_bins
     dtype = rtex.rt.dtype
-    rows, wgt, wsum, u = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+    rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+    wgt = wgt * jnp.take(rtex.valid, rows).astype(dtype)
+    wsum = jnp.sum(wgt, axis=-1, keepdims=True)
 
     i0 = jnp.floor(u).astype(jnp.int32) % t_bins
     i1 = (i0 + 1) % t_bins
