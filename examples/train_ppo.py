@@ -56,19 +56,22 @@ def main():
                          [0.7, -1.0, 1.37079632679]][: args.agents], jnp.float32)
     poses = jnp.tile(start, (args.envs, 1, 1))
     keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
-    reset_v = jax.jit(jax.vmap(lambda po, k: envlib.reset(cfg, env_params, po, k)))
-    states, obs, *_ = reset_v(poses, keys)
+    # env_params must be jit ARGUMENTS, not closures: the map/range textures
+    # would otherwise be embedded as HLO constants (remote-compile 413s)
+    reset_v = jax.jit(jax.vmap(
+        lambda pr, po, k: envlib.reset(cfg, pr, po, k), in_axes=(None, 0, 0)))
+    states, obs, *_ = reset_v(env_params, poses, keys)
     states = sh.shard_envs(mesh, states)
     obs = sh.shard_envs(mesh, obs)
 
     ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout))
     pstate = sh.replicate(mesh, ppo.init(jax.random.PRNGKey(1)))
-    train = jax.jit(ppo.train_step)
+    train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 
     steps_per_iter = args.envs * args.rollout
     for it in range(args.iters):
         t0 = time.time()
-        pstate, states, obs, metrics = train(pstate, states, obs)
+        pstate, states, obs, metrics = train(pstate, states, obs, env_params)
         loss = float(metrics["loss"])  # also forces execution
         dt = time.time() - t0
         print(f"iter {it}: loss={loss:.4f} "

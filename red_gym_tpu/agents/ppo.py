@@ -124,10 +124,16 @@ class PPO:
             ctrl = jnp.where(mask[None, :, None], others[None, None, :], ctrl)
         return ctrl
 
-    def collect(self, pstate: PPOState, env_states, obs):
+    def collect(self, pstate: PPOState, env_states, obs, env_params=None):
         """Roll the sharded env batch pcfg.rollout_len steps, auto-resetting
-        crashed envs; returns trajectories + final states."""
-        cfg, params = self.cfg, self.env_params
+        crashed envs; returns trajectories + final states.
+
+        Pass ``env_params`` explicitly when jitting so map/range textures are
+        traced ARGUMENTS — closing over them (the default) embeds them as HLO
+        constants, which bloats executables and can exceed remote-compile
+        request limits on relayed TPU backends."""
+        cfg = self.cfg
+        params = env_params if env_params is not None else self.env_params
         step_v = jax.vmap(lambda s, a: step(cfg, params, s, a), in_axes=(0, 0))
         reset_v = jax.vmap(lambda po, k: reset(cfg, params, po, k), in_axes=(0, 0))
 
@@ -189,11 +195,12 @@ class PPO:
         loss = pg.mean() + p.vf_coef * vf.mean() - p.ent_coef * ent
         return loss, {"pg": pg.mean(), "vf": vf.mean(), "ratio": ratio.mean()}
 
-    def train_step(self, pstate: PPOState, env_states, obs):
+    def train_step(self, pstate: PPOState, env_states, obs, env_params=None):
         """One full PPO iteration: collect sharded rollouts, GAE, minibatch
         epochs.  Designed to be wrapped in jax.jit with sharded env inputs —
-        XLA inserts the cross-device reductions for the replicated params."""
-        env_states, obs, traj = self.collect(pstate, env_states, obs)
+        XLA inserts the cross-device reductions for the replicated params.
+        Pass ``env_params`` as a jit argument (see collect)."""
+        env_states, obs, traj = self.collect(pstate, env_states, obs, env_params)
         scans, vels, acts, logps, values, rewards, dones = traj
 
         _, _, last_value = self.policy.apply(

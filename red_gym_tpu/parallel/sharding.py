@@ -50,10 +50,11 @@ def shard_params(mesh: Mesh, params: EnvParams, map_axis: Optional[int] = None,
     TrackMap carries an env axis."""
     vehicle = replicate(mesh, params.vehicle)
     tables = replicate(mesh, params.tables)
+    rtex = None if params.rtex is None else replicate(mesh, params.rtex)
     if map_axis is None:
         tmap = replicate(mesh, params.tmap)
     else:
         tmap = TrackMap(*[jax.device_put(getattr(params.tmap, f),
                                          NamedSharding(mesh, P(axis)))
                           for f in TrackMap._fields])
-    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap)
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)

@@ -67,6 +67,25 @@ def test_sharded_step_matches_unsharded(params):
     assert len(s_sh.x.sharding.device_set) == 8
 
 
+def test_shard_params_keeps_range_texture():
+    """Regression: shard_params must carry the fast-mode range texture
+    (it silently dropped the rtex field once, crashing fast-mode training
+    under a mesh)."""
+    cfg = SimConfig(num_agents=1, num_beams=54, dtype="float32",
+                    scan_mode="fast", rt_theta_bins=16, rt_pose_stride=16)
+    params = envlib.make_params(cfg, MAP_YAML, ".png")
+    assert params.rtex is not None
+    mesh = sh.make_env_mesh(8)
+    sharded = sh.shard_params(mesh, params)
+    assert sharded.rtex is not None
+
+    poses = jnp.tile(jnp.asarray(START[:1], jnp.float32), (8, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    f = jax.jit(jax.vmap(lambda po, k: envlib.reset(cfg, sharded, po, k)))
+    states, obs, *_ = f(poses, keys)
+    assert np.all(np.isfinite(np.asarray(obs.scans)))
+
+
 def test_viewer_renders_frame(tmp_path, params):
     import matplotlib
     matplotlib.use("Agg")
