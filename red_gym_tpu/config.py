@@ -138,6 +138,14 @@ class SimConfig:
     scan_mode: str = "exact"
     rt_theta_bins: int = 128      # angular bins of the range texture
     rt_pose_stride: int = 2       # texture cell = stride * map resolution
+    # fast-scan epilogue backend.  "xla" (default): plain jnp — XLA fuses the
+    # blend into downstream consumers (noise/iTTC/policy), measured ~8%
+    # faster end-to-end.  "pallas": the fused shuffle-matmul kernel
+    # (ops/pallas_scan.py) — faster in isolation (no (.., 3B) HBM
+    # intermediate) but an optimization barrier for the consumers; use it
+    # when the scan output feeds a matmul directly.  "auto" = "xla" on
+    # today's measurements.
+    scan_backend: str = "xla"
 
     @property
     def jdtype(self):

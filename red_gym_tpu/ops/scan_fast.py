@@ -137,6 +137,15 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                         gmat=jnp.asarray(gmat, dtype))
 
 
+def _use_pallas(cfg: SimConfig) -> bool:
+    # "auto" currently resolves to the XLA path: A/B on the full env step
+    # showed the fused Pallas epilogue ~8% slower end-to-end because it acts
+    # as a fusion barrier for the scan's elementwise consumers (see
+    # docs/performance.md).  It remains selectable for pipelines that feed
+    # the scan straight into a matmul.
+    return cfg.scan_backend == "pallas"
+
+
 def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
     """Shared geometry for the fast lookups: bilinear cells + theta coords.
 
@@ -238,11 +247,24 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     re_r = re * cphi - im_full * sphi
     im_r = (re * sphi + im_full * cphi)[..., 1:-1]
     spec_r = jnp.concatenate([re_r, im_r], axis=-1)             # (..., T)
+
+    c_frac = jnp.mod(tables.scan_angles * (t_bins / two_pi), 1.0).astype(dtype)
+
+    if _use_pallas(cfg):
+        # fused shuffle-matmul + blend: the (..., 3B) intermediate never
+        # touches HBM (ops/pallas_scan.py)
+        from red_gym_tpu.ops import pallas_scan
+
+        batch = spec_r.shape[:-1]
+        out = pallas_scan.theta_shuffle_blend(
+            spec_r.reshape((-1, t_bins)), f_s.reshape((-1,)),
+            wsum[..., 0].reshape((-1,)), rtex.gmat, c_frac, cfg.max_range)
+        return out.reshape(batch + (b_n,))
+
     g = jnp.matmul(spec_r, rtex.gmat,
                    preferred_element_type=dtype)                # (..., 3B)
     g0, g1, g2 = g[..., :b_n], g[..., b_n:2 * b_n], g[..., 2 * b_n:]
 
-    c_frac = jnp.mod(tables.scan_angles * (t_bins / two_pi), 1.0).astype(dtype)
     alpha = f_s[..., None] + c_frac                              # (..., B) in [0,2)
     w0 = jnp.maximum(1.0 - alpha, 0.0)
     w2 = jnp.maximum(alpha - 1.0, 0.0)

@@ -98,6 +98,32 @@ def test_mxu_variant_matches_gather_variant(setup):
     np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
 
 
+def test_pallas_epilogue_matches_xla(setup):
+    """The fused Pallas shuffle-matmul + blend kernel (interpret mode off
+    TPU) equals the unfused XLA path, including under vmap (the custom_vmap
+    rule collapses batch axes into kernel rows)."""
+    import dataclasses
+
+    tmap, tables, rtex = setup
+    cfg_x = dataclasses.replace(CFG, scan_backend="xla")
+    cfg_p = dataclasses.replace(CFG, scan_backend="pallas")
+    rng = np.random.default_rng(7)
+    poses = jnp.asarray(np.stack([rng.uniform(-5, 5, 6), rng.uniform(-5, 5, 6),
+                                  rng.uniform(0, 2 * np.pi, 6)], axis=-1))
+    a = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_x))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_p))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-10)
+
+    # vmapped (the env.step composition): (E, A, 3) poses
+    pv = poses.reshape(3, 2, 3)
+    f_x = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_x)))
+    f_p = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_p)))
+    np.testing.assert_allclose(np.asarray(f_x(pv)), np.asarray(f_p(pv)),
+                               rtol=1e-10, atol=1e-10)
+
+
 def test_texture_shapes(setup):
     tmap, tables, rtex = setup
     hc, wc = int(rtex.hc), int(rtex.wc)
