@@ -45,11 +45,36 @@ def steering_constraint(steering_angle, steering_velocity, s_min, s_max, sv_min,
     return jnp.where(pinned, 0.0, clamped)
 
 
+def constrain_inputs_t(steer, vel, sv0, ac0, p: VehicleParams):
+    """Apply both input constraints on unpacked components -> (sv, ac)."""
+    sv = steering_constraint(steer, sv0, p.s_min, p.s_max, p.sv_min, p.sv_max)
+    ac = accl_constraints(vel, ac0, p.v_switch, p.a_max, p.v_min, p.v_max)
+    return sv, ac
+
+
 def constrain_inputs(x, u_init, p: VehicleParams):
     """Apply both input constraints; returns constrained ``u``(..., 2)."""
-    sv = steering_constraint(x[..., 2], u_init[..., 0], p.s_min, p.s_max, p.sv_min, p.sv_max)
-    ac = accl_constraints(x[..., 3], u_init[..., 1], p.v_switch, p.a_max, p.v_min, p.v_max)
+    sv, ac = constrain_inputs_t(x[..., 2], x[..., 3],
+                                u_init[..., 0], u_init[..., 1], p)
     return jnp.stack([sv, ac], axis=-1)
+
+
+def vehicle_dynamics_ks_t(xt, sv0, ac0, p: VehicleParams):
+    """Kinematic single-track RHS on a 5-tuple of state components.
+
+    Component (struct-of-arrays) form: no stack/slice per evaluation, so a
+    whole RK4 step fuses into a handful of XLA kernels instead of ~50
+    (reference math: dynamic_models.py:91-121).
+    """
+    sv, ac = constrain_inputs_t(xt[2], xt[3], sv0, ac0, p)
+    lwb = p.lf + p.lr
+    return (
+        xt[3] * jnp.cos(xt[4]),
+        xt[3] * jnp.sin(xt[4]),
+        sv,
+        ac,
+        xt[3] / lwb * jnp.tan(xt[2]),
+    )
 
 
 def vehicle_dynamics_ks(x, u_init, p: VehicleParams):
@@ -57,22 +82,13 @@ def vehicle_dynamics_ks(x, u_init, p: VehicleParams):
 
     Reference: dynamic_models.py:91-121.
     """
-    u = constrain_inputs(x, u_init, p)
-    lwb = p.lf + p.lr
-    return jnp.stack(
-        [
-            x[..., 3] * jnp.cos(x[..., 4]),
-            x[..., 3] * jnp.sin(x[..., 4]),
-            u[..., 0],
-            u[..., 1],
-            x[..., 3] / lwb * jnp.tan(x[..., 2]),
-        ],
-        axis=-1,
-    )
+    xt = tuple(x[..., i] for i in range(5))
+    return jnp.stack(vehicle_dynamics_ks_t(xt, u_init[..., 0], u_init[..., 1], p),
+                     axis=-1)
 
 
-def vehicle_dynamics_st(x, u_init, p: VehicleParams):
-    """Dynamic single-track RHS for state (..., 7) with load transfer.
+def vehicle_dynamics_st_t(xt, sv0, ac0, p: VehicleParams):
+    """Dynamic single-track RHS on a 7-tuple of state components.
 
     Reference: dynamic_models.py:123-176.  The |v| < 0.5 kinematic fallback
     becomes a lane-wise select: both branches are evaluated (cheap, fully
@@ -80,53 +96,55 @@ def vehicle_dynamics_st(x, u_init, p: VehicleParams):
     so v is substituted with 1 where the kinematic branch is selected to keep
     the untaken lane finite (protects reverse-mode AD through the select).
     """
-    u = constrain_inputs(x, u_init, p)
-    sv, ac = u[..., 0], u[..., 1]
+    sv, ac = constrain_inputs_t(xt[2], xt[3], sv0, ac0, p)
     lwb = p.lf + p.lr
 
-    use_ks = jnp.abs(x[..., 3]) < 0.5
+    use_ks = jnp.abs(xt[3]) < 0.5
 
     # --- kinematic branch, lifted to 7 states (dynamic_models.py:152-160).
     # The reference feeds the already-constrained u through the KS RHS, which
     # re-applies the (idempotent) constraints; we call the same path.
-    f_ks5 = vehicle_dynamics_ks(x[..., :5], u, p)
-    cos_s = jnp.cos(x[..., 2])
-    f_ks_6 = ac / lwb * jnp.tan(x[..., 2]) + x[..., 3] / (lwb * cos_s * cos_s) * sv
-    f_ks = jnp.concatenate(
-        [f_ks5, f_ks_6[..., None], jnp.zeros_like(f_ks_6)[..., None]], axis=-1
-    )
+    f_ks5 = vehicle_dynamics_ks_t(xt[:5], sv, ac, p)
+    cos_s = jnp.cos(xt[2])
+    f_ks_6 = ac / lwb * jnp.tan(xt[2]) + xt[3] / (lwb * cos_s * cos_s) * sv
 
     # --- dynamic branch (dynamic_models.py:162-174), v guarded where unused.
-    v = jnp.where(use_ks, 1.0, x[..., 3])
-    delta = x[..., 2]
-    psi = x[..., 4]
-    wz = x[..., 5]
-    beta = x[..., 6]
+    v = jnp.where(use_ks, 1.0, xt[3])
+    delta = xt[2]
+    psi = xt[4]
+    wz = xt[5]
+    beta = xt[6]
 
     glr_f = G * p.lr - ac * p.h   # front axle load lever
     glf_r = G * p.lf + ac * p.h   # rear axle load lever
     denom = p.lr + p.lf
 
-    f_st = jnp.stack(
-        [
-            v * jnp.cos(beta + psi),
-            v * jnp.sin(beta + psi),
-            sv,
-            ac,
-            wz,
-            -p.mu * p.m / (v * p.I * denom)
-            * (p.lf**2 * p.C_Sf * glr_f + p.lr**2 * p.C_Sr * glf_r) * wz
-            + p.mu * p.m / (p.I * denom)
-            * (p.lr * p.C_Sr * glf_r - p.lf * p.C_Sf * glr_f) * beta
-            + p.mu * p.m / (p.I * denom) * p.lf * p.C_Sf * glr_f * delta,
-            (p.mu / (v**2 * denom) * (p.C_Sr * glf_r * p.lr - p.C_Sf * glr_f * p.lf) - 1.0) * wz
-            - p.mu / (v * denom) * (p.C_Sr * glf_r + p.C_Sf * glr_f) * beta
-            + p.mu / (v * denom) * (p.C_Sf * glr_f) * delta,
-        ],
-        axis=-1,
+    f_st = (
+        v * jnp.cos(beta + psi),
+        v * jnp.sin(beta + psi),
+        sv,
+        ac,
+        wz,
+        -p.mu * p.m / (v * p.I * denom)
+        * (p.lf**2 * p.C_Sf * glr_f + p.lr**2 * p.C_Sr * glf_r) * wz
+        + p.mu * p.m / (p.I * denom)
+        * (p.lr * p.C_Sr * glf_r - p.lf * p.C_Sf * glr_f) * beta
+        + p.mu * p.m / (p.I * denom) * p.lf * p.C_Sf * glr_f * delta,
+        (p.mu / (v**2 * denom) * (p.C_Sr * glf_r * p.lr - p.C_Sf * glr_f * p.lf) - 1.0) * wz
+        - p.mu / (v * denom) * (p.C_Sr * glf_r + p.C_Sf * glr_f) * beta
+        + p.mu / (v * denom) * (p.C_Sf * glr_f) * delta,
     )
 
-    return jnp.where(use_ks[..., None], f_ks, f_st)
+    f_ks7 = f_ks5 + (f_ks_6, jnp.zeros_like(f_ks_6))
+    return tuple(jnp.where(use_ks, a, b) for a, b in zip(f_ks7, f_st))
+
+
+def vehicle_dynamics_st(x, u_init, p: VehicleParams):
+    """Dynamic single-track RHS for state (..., 7) (array API; see the
+    _t form for the fused component version the env step uses)."""
+    xt = tuple(x[..., i] for i in range(7))
+    return jnp.stack(vehicle_dynamics_st_t(xt, u_init[..., 0], u_init[..., 1], p),
+                     axis=-1)
 
 
 def pid(speed, steer, current_speed, current_steer, max_sv, max_a, max_v, min_v):

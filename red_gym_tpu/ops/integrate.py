@@ -41,6 +41,37 @@ def integrate(integrator: Integrator, rhs: Callable, x, u, dt, p):
     raise ValueError(f"unknown integrator {integrator}")
 
 
+def _taxpy(x, a, k):
+    """Per-component x + a*k over state tuples."""
+    return tuple(xi + a * ki for xi, ki in zip(x, k))
+
+
+def rk4_step_t(rhs_t: Callable, xt, sv, ac, dt, p):
+    """RK4 on component tuples — same arithmetic and fp ordering as
+    rk4_step, but with no stack/slice per stage so the whole step fuses."""
+    k1 = rhs_t(xt, sv, ac, p)
+    k2 = rhs_t(_taxpy(xt, dt / 2, k1), sv, ac, p)
+    k3 = rhs_t(_taxpy(xt, dt / 2, k2), sv, ac, p)
+    k4 = rhs_t(_taxpy(xt, dt, k3), sv, ac, p)
+    c = dt * (1.0 / 6.0)
+    return tuple(x + c * (a + 2.0 * b + 2.0 * cc + d)
+                 for x, a, b, cc, d in zip(xt, k1, k2, k3, k4))
+
+
+def euler_step_t(rhs_t: Callable, xt, sv, ac, dt, p):
+    return _taxpy(xt, dt, rhs_t(xt, sv, ac, p))
+
+
+def integrate_t(integrator: Integrator, rhs_t: Callable, xt, sv, ac, dt, p):
+    """Tuple-form integrate: xt is a tuple of state components, (sv, ac)
+    the control components; returns the advanced tuple."""
+    if integrator is Integrator.RK4:
+        return rk4_step_t(rhs_t, xt, sv, ac, dt, p)
+    if integrator is Integrator.EULER:
+        return euler_step_t(rhs_t, xt, sv, ac, dt, p)
+    raise ValueError(f"unknown integrator {integrator}")
+
+
 def wrap_yaw(yaw):
     """Single-step yaw wrap into [0, 2*pi).
 
