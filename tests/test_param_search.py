@@ -40,6 +40,21 @@ def evaluator():
                                   start_pose=[0.7, 0.0, 1.37079632679])
 
 
+def test_search_end_to_end():
+    """Two tiny CMA generations through the real evaluator improve (or at
+    least don't corrupt) the incumbent; returns the best dict."""
+    from red_gym_tpu.tuning import search
+
+    cfg = SimConfig(num_agents=1, num_beams=32, dtype="float64",
+                    march_iters=24, scan_noise_std=0.0)
+    wpts = pp.load_waypoints_csv(WPT_CSV, dtype=jnp.float64)
+    best, best_f = search(cfg, MAP_YAML, wpts,
+                          start_pose=[0.7, 0.0, 1.37079632679],
+                          popsize=4, generations=2, steps=120, log=None)
+    assert set(best) == {"m", "lf", "tlad", "vgain"}
+    assert np.isfinite(best_f)
+
+
 def test_evaluator_population_batch(evaluator):
     """One dispatch evaluates the whole population; per-candidate params
     actually differ (different fitness for sane vs broken controllers)."""
