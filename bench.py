@@ -28,13 +28,14 @@ N_ENVS = int(os.environ.get("BENCH_ENVS", 16384))
 N_AGENTS = 2
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
 SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
+SCAN_INTERP = os.environ.get("BENCH_SCAN_INTERP", "spectral")
 START = np.array([[0.7, 0.0, 1.37079632679], [0.7, -1.0, 1.37079632679]])
 
 
 def main():
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
-                    scan_mode=SCAN_MODE)
+                    scan_mode=SCAN_MODE, scan_interp=SCAN_INTERP)
     params = envlib.make_params(cfg, example_map_yaml(), ".png")
 
     poses = jnp.tile(jnp.asarray(START[:N_AGENTS], jnp.float32), (N_ENVS, 1, 1))
@@ -72,7 +73,7 @@ def main():
     rate = N_ENVS * STEPS / dt
     print(json.dumps({
         "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam lidar, "
-                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}, 1 chip)",
+                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}/{SCAN_INTERP}, 1 chip)",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / 3000.0, 2),

@@ -146,6 +146,12 @@ class SimConfig:
     # when the scan output feeds a matmul directly.  "auto" = "xla" on
     # today's measurements.
     scan_backend: str = "xla"
+    # fast-scan theta interpolation.  "linear" (default): exact linear lerp
+    # between theta bins (matches trace_fast).  "spectral": the full real-
+    # valued roll goes into the DFT phase and beams are evaluated by one
+    # constant matrix — no 3-tap elementwise tail (fastest), trigonometric
+    # interpolation semantics with a Lanczos anti-ringing window.
+    scan_interp: str = "linear"
 
     @property
     def jdtype(self):

@@ -46,6 +46,8 @@ class RangeTexture(NamedTuple):
     cell: jnp.ndarray      # cell size [m] = stride * map resolution
     fmat: jnp.ndarray      # (T, T) packed real rfft: [Re 0..T/2 | Im 1..T/2-1]
     gmat: jnp.ndarray      # (T, 3B) packed irfft fused with the beam shuffle
+    smat: jnp.ndarray      # (T, B) Lanczos-windowed trig evaluation at the
+                           # static beam offsets (scan_interp="spectral")
 
 
 def build_range_texture(tmap: TrackMap, cfg: SimConfig,
@@ -129,12 +131,25 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     gmat = np.concatenate([r_basis @ emat,
                            (s_basis @ emat)[1:-1]], axis=0)   # (T, 3B)
 
+    # Spectral evaluation matrix: trig reconstruction of the (rolled) theta
+    # row AT the static beam offsets c_b, with a Lanczos window damping the
+    # Gibbs ringing at occlusion discontinuities.  Row layout matches the
+    # packed spectrum: [Re 0..T/2 | Im 1..T/2-1].
+    freqs = np.arange(f_bins)
+    sigma = np.sinc(freqs / (t_bins // 2))                    # Lanczos window
+    scale = np.where((freqs == 0) | (freqs == t_bins // 2), 1.0, 2.0) / t_bins
+    wf = (sigma * scale)[:, None]                             # (F, 1)
+    omega_c = (2.0 * math.pi / t_bins) * np.outer(freqs, c_b)  # (F, B)
+    smat = np.concatenate([wf * np.cos(omega_c),
+                           (-wf * np.sin(omega_c))[1:-1]], axis=0)  # (T, B)
+
     return RangeTexture(rt=rt, valid=valid,
                         hc=jnp.asarray(hc, jnp.int32),
                         wc=jnp.asarray(wc, jnp.int32),
                         cell=jnp.asarray(cell, dtype),
                         fmat=jnp.asarray(fmat, dtype),
-                        gmat=jnp.asarray(gmat, dtype))
+                        gmat=jnp.asarray(gmat, dtype),
+                        smat=jnp.asarray(smat, dtype))
 
 
 def _use_pallas(cfg: SimConfig) -> bool:
@@ -232,13 +247,31 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     # explicit multiply-reduce (not dot_general) fuses with the gather
     blended = jnp.sum(rows_v * wnorm[..., :, None], axis=-2)    # (..., T)
 
+    spec = jnp.matmul(blended, rtex.fmat,
+                      preferred_element_type=dtype)             # (..., T)
+    re, im = spec[..., :f_bins], spec[..., f_bins:]             # (...,F),(...,F-2)
+
+    if cfg.scan_interp == "spectral":
+        # full REAL-valued roll in the DFT phase; beams evaluated by one
+        # constant (windowed) trig matrix — no per-beam elementwise tail.
+        freqs = jnp.arange(f_bins, dtype=s.dtype)
+        m = jnp.mod(freqs * s[..., None], float(t_bins))
+        phi = m.astype(dtype) * (two_pi / t_bins)               # (..., F)
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        zero = jnp.zeros_like(re[..., 0:1])
+        im_full = jnp.concatenate([zero, im, zero], axis=-1)
+        re_r = re * cphi - im_full * sphi
+        im_r = (re * sphi + im_full * cphi)[..., 1:-1]
+        spec_r = jnp.concatenate([re_r, im_r], axis=-1)         # (..., T)
+        out = jnp.matmul(spec_r, rtex.smat,
+                         preferred_element_type=dtype)          # (..., B)
+        out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)
+        return jnp.clip(out, 0.0, cfg.max_range)
+
     # exact integer roll by i_i in the packed DFT domain.  Phases come from
     # integer modular arithmetic so f=T/2 lands on exactly {0, pi} and its
     # imaginary part stays (numerically) zero — the packed layout is closed
     # under integer-roll twiddles.
-    spec = jnp.matmul(blended, rtex.fmat,
-                      preferred_element_type=dtype)             # (..., T)
-    re, im = spec[..., :f_bins], spec[..., f_bins:]             # (...,F),(...,F-2)
     m = jnp.mod(i_i[..., None] * jnp.arange(f_bins, dtype=jnp.int32), t_bins)
     phi = m.astype(dtype) * (two_pi / t_bins)                   # (..., F)
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)

@@ -98,6 +98,35 @@ def test_mxu_variant_matches_gather_variant(setup):
     np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
 
 
+def test_spectral_interp_accuracy(setup):
+    """scan_interp='spectral' (windowed trig interpolation, no elementwise
+    tail) stays close to the exact march: same error class as the linear
+    fast mode away from occlusion edges."""
+    import dataclasses
+
+    tmap, tables, rtex = setup
+    cfg_s = dataclasses.replace(CFG, scan_interp="spectral")
+    rng = np.random.default_rng(11)
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < 16:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 1.0:
+            poses.append([c * res + float(tmap.orig_x) + res / 2,
+                          r * res + float(tmap.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    poses = jnp.asarray(poses)
+
+    exact = np.asarray(scan_ops.trace(poses, tables, tmap, CFG))
+    spec = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_s))
+    err = np.abs(exact - spec)
+    cell = float(rtex.cell)
+    assert np.median(err) < 0.75 * cell, f"median err {np.median(err):.3f}m"
+    assert np.quantile(err, 0.9) < 5 * cell, f"p90 err {np.quantile(err, 0.9):.3f}m"
+    assert np.all(spec >= 0) and np.all(spec <= CFG.max_range)
+
+
 def test_pallas_epilogue_matches_xla(setup):
     """The fused Pallas shuffle-matmul + blend kernel (interpret mode off
     TPU) equals the unfused XLA path, including under vmap (the custom_vmap
