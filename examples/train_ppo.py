@@ -42,6 +42,10 @@ def main():
                     choices=["exact", "fast"])
     ap.add_argument("--save", type=str, default="ppo_ckpt")
     ap.add_argument("--map", type=str, default=None)
+    ap.add_argument("--opponents", type=str, default="cruise",
+                    choices=["cruise", "pursuit"],
+                    help="non-ego agents hold slow-straight or track the "
+                         "raceline with pure pursuit")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
@@ -64,7 +68,17 @@ def main():
     states = sh.shard_envs(mesh, states)
     obs = sh.shard_envs(mesh, obs)
 
-    ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout))
+    opponent_plan = None
+    if args.opponents == "pursuit" and args.agents > 1:
+        from red_gym_tpu.agents import pure_pursuit as pp
+        from red_gym_tpu.agents.ppo import pure_pursuit_opponents
+        from red_gym_tpu.assets import example_waypoints_csv
+
+        wpts = pp.load_waypoints_csv(example_waypoints_csv(), dtype=jnp.float32)
+        opponent_plan = pure_pursuit_opponents(pp.make_params(wpts))
+
+    ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout),
+              opponent_plan=opponent_plan)
     pstate = sh.replicate(mesh, ppo.init(jax.random.PRNGKey(1)))
     train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 

@@ -82,16 +82,36 @@ def gaussian_logp(mean, log_std, act):
                    - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
 
 
+def pure_pursuit_opponents(ppp):
+    """Opponent-policy hook: every agent tracks the raceline with pure
+    pursuit.  Returns fn(obs) -> (E, A, 2) [steer, speed] controls."""
+    from red_gym_tpu.agents import pure_pursuit as pp
+
+    def plan_all(obs: Observation):
+        def one(x, y, th):
+            speed, steer = pp.plan(x, y, th, ppp)
+            return jnp.stack([steer, speed])
+
+        return jax.vmap(jax.vmap(one))(obs.poses_x, obs.poses_y,
+                                       obs.poses_theta)
+
+    return plan_all
+
+
 class PPO:
-    """Ego-agent PPO over batched envs (opponents act with a fixed policy
-    hook, default: hold slow straight)."""
+    """Ego-agent PPO over batched envs.  Opponents act through the
+    ``opponent_plan`` hook — fn(obs) -> (E, A, 2) controls for ALL agents,
+    of which the non-ego rows are used (default: hold slow straight; see
+    pure_pursuit_opponents for raceline-tracking opponents)."""
 
     def __init__(self, cfg: SimConfig, env_params: EnvParams,
-                 pcfg: PPOConfig = PPOConfig(), policy: ScanPolicy | None = None):
+                 pcfg: PPOConfig = PPOConfig(), policy: ScanPolicy | None = None,
+                 opponent_plan=None):
         self.cfg = cfg
         self.env_params = env_params
         self.pcfg = pcfg
         self.policy = policy or ScanPolicy()
+        self.opponent_plan = opponent_plan
         self.tx = optax.adam(pcfg.lr)
 
     def init(self, key) -> PPOState:
@@ -110,18 +130,22 @@ class PPO:
         logp = gaussian_logp(mean, log_std, act)
         return act, logp, value
 
-    def _env_actions(self, act):
-        """Ego action from the policy; opponents cruise (placeholder for
-        self-play / scripted opponents)."""
+    def _env_actions(self, act, obs: Observation):
+        """Ego action from the policy; opponents from the opponent_plan hook
+        (default: cruise slow and straight)."""
         e = act.shape[0]
         a = self.cfg.num_agents
         ctrl = jnp.zeros((e, a, 2), self.cfg.jdtype)
         ctrl = ctrl.at[:, self.cfg.ego_idx, :].set(
             action_to_control(act, self.pcfg, self.cfg.jdtype))
         if a > 1:
-            others = jnp.asarray([0.0, 1.5], self.cfg.jdtype)
+            if self.opponent_plan is not None:
+                others = self.opponent_plan(obs).astype(self.cfg.jdtype)
+            else:
+                others = jnp.broadcast_to(
+                    jnp.asarray([0.0, 1.5], self.cfg.jdtype), (e, a, 2))
             mask = jnp.arange(a) != self.cfg.ego_idx
-            ctrl = jnp.where(mask[None, :, None], others[None, None, :], ctrl)
+            ctrl = jnp.where(mask[None, :, None], others, ctrl)
         return ctrl
 
     def collect(self, pstate: PPOState, env_states, obs, env_params=None):
@@ -142,7 +166,7 @@ class PPO:
             key, ka, kr = jax.random.split(key, 3)
             act, logp, value = self._policy_step(pstate.params, obs, ka)
             env_states2, obs2, reward, done, _ = step_v(
-                env_states, self._env_actions(act))
+                env_states, self._env_actions(act, obs))
 
             ego = cfg.ego_idx
             # shaped reward: forward progress - collision penalty
