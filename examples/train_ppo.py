@@ -46,25 +46,59 @@ def main():
                     choices=["cruise", "pursuit"],
                     help="non-ego agents hold slow-straight or track the "
                          "raceline with pure pursuit")
+    ap.add_argument("--multi-map", action="store_true",
+                    help="train across all packaged tracks: per-env map "
+                         "assignment into shared stacked textures")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
                     timestep=0.01, integrator=Integrator.RK4, dtype="float32",
                     scan_mode=args.scan_mode)
-    env_params = envlib.make_params(cfg, args.map or example_map_yaml(), ".png")
+
+    map_idx = None
+    if args.multi_map:
+        import glob
+
+        from red_gym_tpu.assets import __file__ as assets_file
+
+        yamls = sorted(glob.glob(os.path.join(
+            os.path.dirname(assets_file), "data", "track_*.yaml")))
+        env_params = envlib.make_multimap_params(cfg, yamls)
+        starts = []
+        for y in yamls:
+            w = np.loadtxt(y.replace(".yaml", "_waypoints.csv"),
+                           delimiter=";", comments="#")
+            th = np.arctan2(w[1, 2] - w[0, 2], w[1, 1] - w[0, 1])
+            row = [[w[0, 1], w[0, 2], th],
+                   [w[8, 1], w[8, 2], th]][: args.agents]
+            starts.append(row)
+        map_idx = jnp.arange(args.envs, dtype=jnp.int32) % len(yamls)
+        poses = jnp.asarray(starts, jnp.float32)[map_idx]
+        print(f"multi-map: {len(yamls)} tracks, per-env assignment")
+    else:
+        env_params = envlib.make_params(cfg, args.map or example_map_yaml(),
+                                        ".png")
+        start = jnp.asarray([[0.7, 0.0, 1.37079632679],
+                             [0.7, -1.0, 1.37079632679]][: args.agents],
+                            jnp.float32)
+        poses = jnp.tile(start, (args.envs, 1, 1))
 
     mesh = sh.make_env_mesh()
     env_params = sh.shard_params(mesh, env_params)
 
-    start = jnp.asarray([[0.7, 0.0, 1.37079632679],
-                         [0.7, -1.0, 1.37079632679]][: args.agents], jnp.float32)
-    poses = jnp.tile(start, (args.envs, 1, 1))
     keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
     # env_params must be jit ARGUMENTS, not closures: the map/range textures
     # would otherwise be embedded as HLO constants (remote-compile 413s)
-    reset_v = jax.jit(jax.vmap(
-        lambda pr, po, k: envlib.reset(cfg, pr, po, k), in_axes=(None, 0, 0)))
-    states, obs, *_ = reset_v(env_params, poses, keys)
+    if map_idx is None:
+        reset_v = jax.jit(jax.vmap(
+            lambda pr, po, k: envlib.reset(cfg, pr, po, k),
+            in_axes=(None, 0, 0)))
+        states, obs, *_ = reset_v(env_params, poses, keys)
+    else:
+        reset_v = jax.jit(jax.vmap(
+            lambda pr, po, k, m: envlib.reset(cfg, pr, po, k, map_idx=m),
+            in_axes=(None, 0, 0, 0)))
+        states, obs, *_ = reset_v(env_params, poses, keys, map_idx)
     states = sh.shard_envs(mesh, states)
     obs = sh.shard_envs(mesh, obs)
 

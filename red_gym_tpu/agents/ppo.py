@@ -106,12 +106,13 @@ class PPO:
 
     def __init__(self, cfg: SimConfig, env_params: EnvParams,
                  pcfg: PPOConfig = PPOConfig(), policy: ScanPolicy | None = None,
-                 opponent_plan=None):
+                 opponent_plan=None, map_axis=None):
         self.cfg = cfg
         self.env_params = env_params
         self.pcfg = pcfg
         self.policy = policy or ScanPolicy()
         self.opponent_plan = opponent_plan
+        self.map_axis = map_axis   # 0 -> per-env maps (stacked tmap/rtex)
         self.tx = optax.adam(pcfg.lr)
 
     def init(self, key) -> PPOState:
@@ -158,15 +159,22 @@ class PPO:
         request limits on relayed TPU backends."""
         cfg = self.cfg
         params = env_params if env_params is not None else self.env_params
-        step_v = jax.vmap(lambda s, a: step(cfg, params, s, a), in_axes=(0, 0))
-        reset_v = jax.vmap(lambda po, k: reset(cfg, params, po, k), in_axes=(0, 0))
+        from red_gym_tpu.rollout import _params_axes
+
+        p_axes = _params_axes(self.map_axis, params.rtex is not None)
+        step_v = jax.vmap(lambda pr, s, a: step(cfg, pr, s, a),
+                          in_axes=(p_axes, 0, 0))
+        reset_v = jax.vmap(lambda pr, po, k: reset(cfg, pr, po, k),
+                           in_axes=(p_axes, 0, 0))
+        reset_vm = jax.vmap(lambda pr, po, k, m: reset(cfg, pr, po, k, map_idx=m),
+                            in_axes=(p_axes, 0, 0, 0))
 
         def body(carry, _):
             env_states, obs, key = carry
             key, ka, kr = jax.random.split(key, 3)
             act, logp, value = self._policy_step(pstate.params, obs, ka)
             env_states2, obs2, reward, done, _ = step_v(
-                env_states, self._env_actions(act, obs))
+                params, env_states, self._env_actions(act, obs))
 
             ego = cfg.ego_idx
             # shaped reward: forward progress - collision penalty
@@ -174,7 +182,12 @@ class PPO:
                  - 10.0 * obs2.collisions[:, ego])
 
             rkeys = jax.random.split(kr, done.shape[0])
-            r_states, r_obs, *_ = reset_v(env_states2.start_pose, rkeys)
+            if env_states2.map_idx is None:
+                r_states, r_obs, *_ = reset_v(params, env_states2.start_pose,
+                                              rkeys)
+            else:
+                r_states, r_obs, *_ = reset_vm(params, env_states2.start_pose,
+                                               rkeys, env_states2.map_idx)
             sel = lambda a_, b_: jnp.where(
                 done.reshape((-1,) + (1,) * (a_.ndim - 1)), a_, b_)
             env_states2 = jax.tree.map(sel, r_states, env_states2)

@@ -57,6 +57,8 @@ class EnvState(NamedTuple):
     start_rot: jnp.ndarray    # (2, 2) rotation into the ego start frame
     rng: jax.Array            # PRNG key for scan noise
     step_idx: jnp.ndarray     # scalar int32
+    map_idx: jnp.ndarray = None  # scalar int32 into a map-STACKED params.tmap
+    # (None/unused when params carry a single map or per-env vmapped maps)
 
 
 class Observation(NamedTuple):
@@ -97,9 +99,41 @@ def make_params(cfg: SimConfig, map_yaml_path: str, map_ext: str = ".png",
     return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
 
 
-def init_state(cfg: SimConfig, poses, key) -> EnvState:
+def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
+                         vehicle: Optional[VehicleParams] = None) -> EnvParams:
+    """EnvParams with M maps STACKED along a leading map axis (padded to a
+    common texture shape).  Envs pick their track with EnvState.map_idx —
+    a flat-index offset into the shared textures, no per-env copies.  This
+    is the randomized-track training configuration the reference could not
+    express (one global map per process, base_classes.py:62-66)."""
+    from red_gym_tpu.maps.loader import load_map, stack_maps
+
+    raw = [load_map(p, map_ext, dtype=cfg.jdtype) for p in map_yaml_paths]
+    pad = (max(int(m.height) for m in raw), max(int(m.width) for m in raw))
+    maps = [load_map(p, map_ext, dtype=cfg.jdtype, pad_to=pad)
+            for p in map_yaml_paths]
+    tmap = stack_maps(maps)
+
+    vehicle = vehicle if vehicle is not None else VehicleParams.default(cfg.jdtype)
+    tables = scan_ops.build_tables(
+        cfg, width=float(np.asarray(vehicle.width).ravel()[0]),
+        length=float(np.asarray(vehicle.lf).ravel()[0]
+                     + np.asarray(vehicle.lr).ravel()[0]),
+        dtype=cfg.jdtype)
+    rtex = None
+    if cfg.scan_mode == "fast":
+        rtex = scan_fast.stack_textures(
+            [scan_fast.build_range_texture(m, cfg) for m in maps])
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
+
+
+def init_state(cfg: SimConfig, poses, key, map_idx=None) -> EnvState:
     """Fresh state at given (A, 3) poses (reference RaceCar.reset +
-    F110Env.reset counters, base_classes.py:181-202, f110_env.py:317-329)."""
+    F110Env.reset counters, base_classes.py:181-202, f110_env.py:317-329).
+
+    ``map_idx``: optional scalar index into a map-STACKED params.tmap/rtex
+    (copy-free multi-track batches; see maps.loader.stack_maps and
+    scan_fast.stack_textures)."""
     dt = cfg.jdtype
     poses = jnp.asarray(poses, dtype=dt)
     a = poses.shape[0]
@@ -125,6 +159,7 @@ def init_state(cfg: SimConfig, poses, key) -> EnvState:
         start_rot=start_rot,
         rng=key,
         step_idx=jnp.zeros((), dtype=jnp.int32),
+        map_idx=None if map_idx is None else jnp.asarray(map_idx, jnp.int32),
     )
 
 
@@ -166,9 +201,10 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     rng, sub = jax.random.split(state.rng)
     if cfg.scan_mode == "fast":
         scans = scan_fast.trace_fast_mxu(poses, params.tables, params.tmap,
-                                         params.rtex, cfg)
+                                         params.rtex, cfg, midx=state.map_idx)
     else:
-        scans = scan_ops.trace(poses, params.tables, params.tmap, cfg)
+        scans = scan_ops.trace(poses, params.tables, params.tmap, cfg,
+                               midx=state.map_idx)
     if cfg.scan_noise_std > 0:
         noise = cfg.scan_noise_std * jax.random.normal(
             sub, (cfg.num_beams,), dtype=scans.dtype)
@@ -254,10 +290,10 @@ def step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     return state, obs, reward, done, info
 
 
-def reset(cfg: SimConfig, params: EnvParams, poses, key):
+def reset(cfg: SimConfig, params: EnvParams, poses, key, map_idx=None):
     """Reset to poses and synthesize the first observation by stepping once
     with zero actions, exactly like the reference (f110_env.py:304-347)."""
-    state = init_state(cfg, poses, key)
+    state = init_state(cfg, poses, key, map_idx=map_idx)
     actions = jnp.zeros((poses.shape[0], 2), dtype=cfg.jdtype)
     return step(cfg, params, state, actions)
 

@@ -88,31 +88,48 @@ def build_tables(cfg: SimConfig, width: float, length: float,
     )
 
 
-def dt_lookup(x, y, tmap: TrackMap):
+def map_scalars(tmap: TrackMap, midx=None):
+    """Per-map scalar fields, selected by map index when the TrackMap
+    carries a leading map axis shared by many envs (copy-free multi-map)."""
+    if midx is None:
+        return (tmap.orig_x, tmap.orig_y, tmap.orig_c, tmap.orig_s,
+                tmap.resolution, tmap.height, tmap.width)
+    return (tmap.orig_x[midx], tmap.orig_y[midx], tmap.orig_c[midx],
+            tmap.orig_s[midx], tmap.resolution[midx], tmap.height[midx],
+            tmap.width[midx])
+
+
+def dt_lookup(x, y, tmap: TrackMap, midx=None):
     """Gather the distance-to-obstacle at world point(s) (x, y).
 
     Replicates reference xy_2_rc semantics (laser_models.py:56-104) including
     the out-of-bounds quirk: OOB points read dt[-1, -1] (numpy wraps the -1
-    sentinel to the last cell).
+    sentinel to the last cell).  With ``midx`` (scalar map index) and a
+    (M, H, W) stacked dt, the lookup is offset into the flat texture — many
+    envs share M maps with no per-env copies.
     """
-    x_trans = x - tmap.orig_x
-    y_trans = y - tmap.orig_y
-    x_rot = x_trans * tmap.orig_c + y_trans * tmap.orig_s
-    y_rot = -x_trans * tmap.orig_s + y_trans * tmap.orig_c
+    ox, oy, oc, osn, res, height, width = map_scalars(tmap, midx)
+    x_trans = x - ox
+    y_trans = y - oy
+    x_rot = x_trans * oc + y_trans * osn
+    y_rot = -x_trans * osn + y_trans * oc
 
-    res = tmap.resolution
-    w_m = tmap.width.astype(x_rot.dtype) * res
-    h_m = tmap.height.astype(y_rot.dtype) * res
+    w_m = width.astype(x_rot.dtype) * res
+    h_m = height.astype(y_rot.dtype) * res
     oob = (x_rot < 0) | (x_rot >= w_m) | (y_rot < 0) | (y_rot >= h_m)
 
     c = (x_rot / res).astype(jnp.int32)
     r = (y_rot / res).astype(jnp.int32)
     full_h, full_w = tmap.dt.shape[-2], tmap.dt.shape[-1]
-    r = jnp.where(oob, tmap.height - 1, jnp.clip(r, 0, full_h - 1))
-    c = jnp.where(oob, tmap.width - 1, jnp.clip(c, 0, full_w - 1))
+    r = jnp.where(oob, height - 1, jnp.clip(r, 0, full_h - 1))
+    c = jnp.where(oob, width - 1, jnp.clip(c, 0, full_w - 1))
 
+    idx = r * full_w + c
+    if midx is not None:
+        flat = tmap.dt.reshape((-1,))
+        return jnp.take(flat, midx * (full_h * full_w) + idx)
     flat = tmap.dt.reshape(tmap.dt.shape[:-2] + (-1,))
-    return jnp.take(flat, r * full_w + c, axis=-1)
+    return jnp.take(flat, idx, axis=-1)
 
 
 def beam_theta_indices(pose_theta, cfg: SimConfig):
@@ -128,12 +145,12 @@ def beam_theta_indices(pose_theta, cfg: SimConfig):
     return ti.astype(jnp.int32)
 
 
-def march(x, y, c, s, tmap: TrackMap, cfg: SimConfig):
+def march(x, y, c, s, tmap: TrackMap, cfg: SimConfig, midx=None):
     """Sphere march from points (x, y) along directions (c, s), all same
     shape.  Arithmetic identical to reference trace_ray
     (laser_models.py:107-146): step the full safe distance until within eps
     of an obstacle or beyond max_range, then clamp to max_range."""
-    d = dt_lookup(x, y, tmap)
+    d = dt_lookup(x, y, tmap, midx)
     total = d
 
     eps = jnp.asarray(cfg.eps, d.dtype)
@@ -147,7 +164,7 @@ def march(x, y, c, s, tmap: TrackMap, cfg: SimConfig):
         act = active_mask(d, total)
         x = jnp.where(act, x + d * c, x)
         y = jnp.where(act, y + d * s, y)
-        d_new = dt_lookup(x, y, tmap)
+        d_new = dt_lookup(x, y, tmap, midx)
         d = jnp.where(act, d_new, d)
         total = jnp.where(act, total + d_new, total)
         return x, y, d, total, jnp.any(active_mask(d, total))
@@ -164,10 +181,11 @@ def march(x, y, c, s, tmap: TrackMap, cfg: SimConfig):
     return jnp.minimum(total, max_range)
 
 
-def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):
+def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig,
+          midx=None):
     """Noiseless scan for pose(s) (..., 3) -> (..., num_beams) via the
     theta-discretized beam table (reference get_scan, laser_models.py:
-    149-186)."""
+    149-186).  ``midx``: optional per-pose map index into a stacked map."""
     idx = beam_theta_indices(pose[..., 2], cfg)
     c = jnp.take(tables.cosines, idx)
     s = jnp.take(tables.sines, idx)
@@ -175,7 +193,9 @@ def trace(pose, tables: ScanTables, tmap: TrackMap, cfg: SimConfig):
     shape = idx.shape
     x = jnp.broadcast_to(pose[..., 0:1], shape)
     y = jnp.broadcast_to(pose[..., 1:2], shape)
-    return march(x, y, c, s, tmap, cfg)
+    if midx is not None:
+        midx = jnp.broadcast_to(jnp.asarray(midx)[..., None], shape)
+    return march(x, y, c, s, tmap, cfg, midx)
 
 
 def trace_angles(origins, angles, tmap: TrackMap, cfg: SimConfig):

@@ -59,8 +59,10 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     """
     stride = cfg.rt_pose_stride
     t_bins = cfg.rt_theta_bins
-    h = int(tmap.height)
-    w = int(tmap.width)
+    # texture extents from the PADDED dt shape (== true shape for unpadded
+    # maps): padded cells are occupied, so their rows zero out and carry
+    # valid=False — and equally-padded maps yield stackable textures.
+    h, w = int(tmap.dt.shape[-2]), int(tmap.dt.shape[-1])
     hc = (h + stride - 1) // stride
     wc = (w + stride - 1) // stride
     res = float(tmap.resolution)
@@ -152,6 +154,28 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                         smat=jnp.asarray(smat, dtype))
 
 
+def stack_textures(rtexs):
+    """Stack equal-shaped RangeTextures along a leading (per-env map) axis.
+
+    The constant interpolation matrices (fmat/gmat/smat) are config-static
+    and identical across maps, so they stay unbatched — see ``batch_axes``
+    for the matching vmap in_axes spec."""
+    first = rtexs[0]
+    return RangeTexture(
+        rt=jnp.stack([r.rt for r in rtexs]),
+        valid=jnp.stack([r.valid for r in rtexs]),
+        hc=jnp.stack([r.hc for r in rtexs]),
+        wc=jnp.stack([r.wc for r in rtexs]),
+        cell=jnp.stack([r.cell for r in rtexs]),
+        fmat=first.fmat, gmat=first.gmat, smat=first.smat)
+
+
+def batch_axes(axis: int = 0) -> "RangeTexture":
+    """vmap in_axes spec for a stacked RangeTexture."""
+    return RangeTexture(rt=axis, valid=axis, hc=axis, wc=axis, cell=axis,
+                        fmat=None, gmat=None, smat=None)
+
+
 def _use_pallas(cfg: SimConfig) -> bool:
     # "auto" currently resolves to the XLA path: A/B on the full env step
     # showed the fused Pallas epilogue ~8% slower end-to-end because it acts
@@ -161,10 +185,12 @@ def _use_pallas(cfg: SimConfig) -> bool:
     return cfg.scan_backend == "pallas"
 
 
-def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
+def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
+                     midx=None):
     """Shared geometry for the fast lookups: bilinear cells + theta coords.
 
-    Returns (rows (..., 4), wgt (..., 4), wsum (..., 1), u (..., B))."""
+    Returns (rows (..., 4), wgt (..., 4), u (..., B)).  With ``midx`` and a
+    map-stacked texture, rows are offset into the flat (M*Hc*Wc, T) table."""
     t_bins = cfg.rt_theta_bins
     dtype = rtex.rt.dtype
     two_pi = 2.0 * math.pi
@@ -172,22 +198,34 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
     phi = pose[..., 2:3] + tables.scan_angles                   # (..., B)
     u = jnp.mod(phi, two_pi) * (t_bins / two_pi)
 
-    x_t = pose[..., 0] - tmap.orig_x
-    y_t = pose[..., 1] - tmap.orig_y
-    gx = (x_t * tmap.orig_c + y_t * tmap.orig_s) / rtex.cell - 0.5
-    gy = (-x_t * tmap.orig_s + y_t * tmap.orig_c) / rtex.cell - 0.5
+    if midx is None:
+        ox, oy, oc, osn = tmap.orig_x, tmap.orig_y, tmap.orig_c, tmap.orig_s
+        cell, wc, hc = rtex.cell, rtex.wc, rtex.hc
+        row_base = 0
+    else:
+        ox, oy, oc, osn = (tmap.orig_x[midx], tmap.orig_y[midx],
+                           tmap.orig_c[midx], tmap.orig_s[midx])
+        cell, wc, hc = rtex.cell[midx], rtex.wc[midx], rtex.hc[midx]
+        assert rtex.rt.ndim == 3, "midx requires a map-stacked RangeTexture"
+        row_base = midx * rtex.rt.shape[-2]
+
+    x_t = pose[..., 0] - ox
+    y_t = pose[..., 1] - oy
+    gx = (x_t * oc + y_t * osn) / cell - 0.5
+    gy = (-x_t * osn + y_t * oc) / cell - 0.5
     c0 = jnp.floor(gx).astype(jnp.int32)
     r0 = jnp.floor(gy).astype(jnp.int32)
     fx = (gx - c0).astype(dtype)
     fy = (gy - r0).astype(dtype)
 
-    wc, hc = rtex.wc, rtex.hc
     rr = jnp.stack([r0, r0, r0 + 1, r0 + 1], axis=-1)
     cc = jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=-1)
     wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                      fy * (1 - fx), fy * fx], axis=-1).astype(dtype)
     in_bounds = (rr >= 0) & (rr < hc) & (cc >= 0) & (cc < wc)
     rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)
+    if midx is not None:
+        rows = rows + row_base
 
     # NB: weights here cover in-bounds only; callers must still drop
     # invalid (occupied-center) cells.  trace_fast_mxu derives that from the
@@ -198,7 +236,7 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig):
 
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
-                   rtex: RangeTexture, cfg: SimConfig):
+                   rtex: RangeTexture, cfg: SimConfig, midx=None):
     """MXU formulation of the fast scan: contiguous gathers + constant matmuls.
 
     Decompose every beam's theta coordinate u_b = s + c_b where s depends
@@ -226,7 +264,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     f_bins = t_bins // 2 + 1
     dtype = rtex.rt.dtype
     two_pi = 2.0 * math.pi
-    rows, wgt, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg)
+    rows, wgt, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
 
     # per-agent theta decomposition (beam offsets enter via constant gmat)
     s = jnp.mod(pose[..., 2], two_pi) * (t_bins / two_pi)       # (...,)
@@ -236,7 +274,8 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     # s can round up to exactly T (theta just under 2pi): wrap, don't clamp
     i_i = jnp.where(i_i >= t_bins, i_i - t_bins, i_i)
 
-    rows_v = jnp.take(rtex.rt, rows, axis=0)                    # (..., 4, T)
+    rt2d = rtex.rt.reshape((-1, t_bins)) if rtex.rt.ndim == 3 else rtex.rt
+    rows_v = jnp.take(rt2d, rows, axis=0)                       # (..., 4, T)
     # cell validity from the rows themselves: invalid (occupied-center)
     # cells were zeroed at build time and valid cells always contain a
     # positive range, so no separate valid-flag gather is needed
@@ -309,7 +348,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
 
 
 def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
-               rtex: RangeTexture, cfg: SimConfig):
+               rtex: RangeTexture, cfg: SimConfig, midx=None):
     """Scan via the range texture: pose (..., 3) -> (..., num_beams).
 
     Bilinear over the 4 surrounding texture cells (invalid cells dropped and
@@ -319,8 +358,8 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     """
     t_bins = cfg.rt_theta_bins
     dtype = rtex.rt.dtype
-    rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg)
-    wgt = wgt * jnp.take(rtex.valid, rows).astype(dtype)
+    rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
+    wgt = wgt * jnp.take(rtex.valid.reshape((-1,)), rows).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
 
     i0 = jnp.floor(u).astype(jnp.int32) % t_bins
@@ -329,8 +368,9 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
 
     flat0 = rows[..., :, None] * t_bins + i0[..., None, :]       # (..., 4, B)
     flat1 = rows[..., :, None] * t_bins + i1[..., None, :]
-    v0 = jnp.take(rtex.rt, flat0)
-    v1 = jnp.take(rtex.rt, flat1)
+    rt_flat = rtex.rt.reshape((-1,))
+    v0 = jnp.take(rt_flat, flat0)
+    v1 = jnp.take(rt_flat, flat1)
     v = v0 * (1 - a) + v1 * a                                    # (..., 4, B)
 
     num = jnp.sum(v * wgt[..., :, None], axis=-2)                # (..., B)

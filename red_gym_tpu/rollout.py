@@ -20,32 +20,41 @@ from red_gym_tpu.env import EnvParams, EnvState, Observation, reset, step
 
 
 def batched_reset(cfg: SimConfig, params: EnvParams, poses, keys,
-                  map_axis: Optional[int] = None):
+                  map_axis: Optional[int] = None, map_idx=None):
     """Reset E envs at poses (E, A, 3) with keys (E,).
 
     ``map_axis=0`` means params.tmap carries a leading env axis (different
-    track per env); otherwise one map is shared by all envs.  Jitted —
-    eager vmap would dispatch per-op.
+    track per env).  ``map_idx`` (E,) int32 instead assigns each env a map
+    from a map-STACKED params (copy-free; see env.make_multimap_params).
+    Jitted — eager vmap would dispatch per-op.
     """
-    in_axes = (_params_axes(map_axis), 0, 0)
-    f = jax.jit(jax.vmap(lambda p, po, k: reset(cfg, p, po, k), in_axes=in_axes))
-    return f(params, poses, keys)
+    p_axes = _params_axes(map_axis, params.rtex is not None)
+    if map_idx is None:
+        f = jax.jit(jax.vmap(lambda p, po, k: reset(cfg, p, po, k),
+                             in_axes=(p_axes, 0, 0)))
+        return f(params, poses, keys)
+    f = jax.jit(jax.vmap(lambda p, po, k, m: reset(cfg, p, po, k, map_idx=m),
+                         in_axes=(p_axes, 0, 0, 0)))
+    return f(params, poses, keys, jnp.asarray(map_idx, jnp.int32))
 
 
-def _params_axes(map_axis):
+def _params_axes(map_axis, has_rtex: bool = False):
     if map_axis is None:
         return None
-    # vmap only the map leaves; vehicle params and tables are shared
+    # vmap only the map leaves (and, in fast mode, the per-map range
+    # texture); vehicle params and tables are shared
     from red_gym_tpu.maps.loader import TrackMap
+    from red_gym_tpu.ops import scan_fast
 
     return EnvParams(vehicle=None, tables=None,
-                     tmap=TrackMap(*([map_axis] * len(TrackMap._fields))))
+                     tmap=TrackMap(*([map_axis] * len(TrackMap._fields))),
+                     rtex=scan_fast.batch_axes(map_axis) if has_rtex else None)
 
 
 def batched_step(cfg: SimConfig, params: EnvParams, states, actions,
                  map_axis: Optional[int] = None):
     """Step E envs: states batched (E, ...), actions (E, A, 2)."""
-    in_axes = (_params_axes(map_axis), 0, 0)
+    in_axes = (_params_axes(map_axis, params.rtex is not None), 0, 0)
     f = jax.jit(jax.vmap(lambda p, s, a: step(cfg, p, s, a), in_axes=in_axes))
     return f(params, states, actions)
 
@@ -67,8 +76,10 @@ def make_rollout(cfg: SimConfig, params: EnvParams,
     the env restarts from its start_pose with a fresh noise key (the batched
     analogue of the reference's reset-on-done driver loops).
     """
-    p_axes = _params_axes(map_axis)
+    p_axes = _params_axes(map_axis, params.rtex is not None)
     reset_v = jax.vmap(lambda p, po, k: reset(cfg, p, po, k), in_axes=(p_axes, 0, 0))
+    reset_vm = jax.vmap(lambda p, po, k, m: reset(cfg, p, po, k, map_idx=m),
+                        in_axes=(p_axes, 0, 0, 0))
     step_v = jax.vmap(lambda p, s, a: step(cfg, p, s, a), in_axes=(p_axes, 0, 0))
 
     def body(carry: RolloutCarry, _):
@@ -79,7 +90,11 @@ def make_rollout(cfg: SimConfig, params: EnvParams,
         if auto_reset:
             n_env = done.shape[0]
             rkeys = jax.random.split(rkey, n_env)
-            r_state, r_obs, *_ = reset_v(params, state.start_pose, rkeys)
+            if state.map_idx is None:
+                r_state, r_obs, *_ = reset_v(params, state.start_pose, rkeys)
+            else:
+                r_state, r_obs, *_ = reset_vm(params, state.start_pose, rkeys,
+                                              state.map_idx)
             sel = lambda a, b: jnp.where(
                 done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
             state = jax.tree.map(sel, r_state, state)

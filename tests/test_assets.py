@@ -30,6 +30,62 @@ def test_assets_present_and_loadable():
         assert wpts.shape[1] >= 6 and wpts.shape[0] > 50
 
 
+def _start_poses(yamls):
+    poses = []
+    for y in yamls:
+        w = np.loadtxt(y.replace(".yaml", "_waypoints.csv"), delimiter=";",
+                       comments="#")
+        dx, dy = w[1, 1] - w[0, 1], w[1, 2] - w[0, 2]
+        poses.append([w[0, 1], w[0, 2], np.arctan2(dy, dx)])
+    return jnp.asarray(poses, jnp.float64)[:, None, :]
+
+
+def test_map_idx_matches_per_env_maps():
+    """The copy-free shared-stack + map_idx path produces exactly the same
+    scans/states as vmapping per-env map copies (map_axis=0)."""
+    yamls = _yamls()[:3]
+    params_idx = envlib.make_multimap_params(CFG, yamls)
+    # per-env-copy path padded to the same shape
+    pad = tuple(params_idx.tmap.dt.shape[-2:])
+    maps = [load_map(y, ".png", dtype=jnp.float64, pad_to=pad) for y in yamls]
+    params_axis = envlib.make_params(CFG, yamls[0])._replace(
+        tmap=stack_maps(maps))
+
+    poses = _start_poses(yamls)
+    keys = jax.random.split(jax.random.PRNGKey(3), len(yamls))
+    s1, o1, *_ = ro.batched_reset(CFG, params_axis, poses, keys, map_axis=0)
+    s2, o2, *_ = ro.batched_reset(CFG, params_idx, poses, keys,
+                                  map_idx=np.arange(len(yamls)))
+    np.testing.assert_array_equal(np.asarray(o1.scans), np.asarray(o2.scans))
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
+
+    acts = jnp.tile(jnp.asarray([[0.0, 1.0]], jnp.float64), (len(yamls), 1, 1))
+    s1, o1, *_ = ro.batched_step(CFG, params_axis, s1, acts, map_axis=0)
+    s2, o2, *_ = ro.batched_step(CFG, params_idx, s2, acts)
+    np.testing.assert_array_equal(np.asarray(o1.scans), np.asarray(o2.scans))
+
+
+def test_map_idx_fast_mode():
+    """Fast scan mode with stacked range textures + map_idx: envs on
+    different tracks scan their own map."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, scan_mode="fast", rt_theta_bins=32,
+                              rt_pose_stride=16)
+    yamls = _yamls()[:2]
+    params = envlib.make_multimap_params(cfg, yamls)
+    poses = _start_poses(yamls)
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    states, obs, *_ = ro.batched_reset(cfg, params, poses, keys,
+                                       map_idx=np.array([0, 1]))
+    assert np.all(np.isfinite(np.asarray(obs.scans)))
+    assert np.all(np.asarray(obs.scans) > 0.1)
+    # swapping map assignment changes the scans (envs really read their map)
+    states_x, obs_x, *_ = ro.batched_reset(cfg, params, poses, keys,
+                                           map_idx=np.array([1, 0]))
+    assert not np.allclose(np.asarray(obs.scans), np.asarray(obs_x.scans))
+
+
 def test_multi_map_batched_rollout():
     """Each env runs on a different packaged track (padded to common shape),
     spawned at its own raceline start, stepped with constant slow actions:
