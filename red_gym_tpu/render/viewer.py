@@ -104,5 +104,37 @@ class Viewer:
             a.remove()
         self._extra_artists = []
 
+    def animate(self, states_history, save_path: str, fps: int = 30,
+                stride: int = 1, callback=None):
+        """Render a time-stacked EnvState pytree (leaves with a leading T
+        axis, e.g. from a ``collect=True`` rollout) to an animated GIF/MP4.
+
+        The reference renders live frame-by-frame (rendering.py); here whole
+        on-device rollouts are replayed offline.  ``callback(viewer, t)``
+        may add per-frame overlays via the draw_* API.
+        """
+        import jax
+        from matplotlib import animation
+
+        leaves = jax.tree.leaves(states_history)
+        n_frames = leaves[0].shape[0]
+        frames = range(0, n_frames, stride)
+
+        def render_frame(t):
+            self.update(jax.tree.map(lambda l: l[t], states_history))
+            if callback is not None:
+                callback(self, t)
+            self.draw(save_path=None)
+            return self._cars
+
+        anim = animation.FuncAnimation(
+            self.fig, render_frame, frames=frames,
+            interval=1000 / fps, blit=False)
+        writer = (animation.FFMpegWriter(fps=fps)
+                  if save_path.endswith(".mp4") else
+                  animation.PillowWriter(fps=fps))
+        anim.save(save_path, writer=writer)
+        return save_path
+
     def close(self):
         self._plt.close(self.fig)

@@ -86,6 +86,27 @@ def test_shard_params_keeps_range_texture():
     assert np.all(np.isfinite(np.asarray(obs.scans)))
 
 
+def test_viewer_animates_rollout(tmp_path, params):
+    """Offline replay: a time-stacked EnvState renders to an animated GIF."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from red_gym_tpu.render.viewer import Viewer
+
+    states, obs, *_ = _batch(params, e=1)
+    state = jax.tree.map(lambda l: l[0], states)
+    hist = []
+    act = jnp.asarray([[0.1, 2.0], [0.0, 1.0]], jnp.float32)
+    for _ in range(4):
+        state, *_ = envlib.step(CFG, params, state, act)
+        hist.append(state)
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *hist)
+
+    v = Viewer(params, CFG, follow=False)
+    out = v.animate(stacked, str(tmp_path / "lap.gif"), fps=5)
+    v.close()
+    assert os.path.getsize(out) > 1000
+
+
 def test_viewer_renders_frame(tmp_path, params):
     import matplotlib
     matplotlib.use("Agg")
