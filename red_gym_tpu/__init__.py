@@ -10,3 +10,17 @@ envs and sharded across TPU meshes with jax collectives.
 __version__ = "0.1.0"
 
 from red_gym_tpu.config import Integrator, SimConfig, VehicleParams  # noqa: F401
+
+
+def make(map, **kwargs):
+    """Single stateful env with the reference gym API (see env.F110Env)."""
+    from red_gym_tpu import env as _env
+
+    return _env.make(map, **kwargs)
+
+
+def make_vec(map, num_envs, **kwargs):
+    """Batched stateful env (see vec_env.VecF110Env)."""
+    from red_gym_tpu.vec_env import VecF110Env
+
+    return VecF110Env(map, num_envs, **kwargs)
