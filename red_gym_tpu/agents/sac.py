@@ -84,24 +84,26 @@ class Critic(nn.Module):
 
 
 class ReplayBuffer(NamedTuple):
-    """On-device uint8 ring buffer (functional replacement for the host
-    deque at SAL.py:447-463)."""
+    """On-device ring buffer (functional replacement for the host deque at
+    SAL.py:447-463).  Obs dtype follows what ``create`` was given (uint8 for
+    bitmaps, float for scans)."""
 
-    obs: jnp.ndarray        # (C, H, W) uint8
+    obs: jnp.ndarray        # (C, *obs_shape)
     action: jnp.ndarray     # (C, A)
     reward: jnp.ndarray     # (C,)
-    next_obs: jnp.ndarray   # (C, H, W) uint8
+    next_obs: jnp.ndarray   # (C, *obs_shape)
     done: jnp.ndarray       # (C,)
     ptr: jnp.ndarray        # scalar int32
     size: jnp.ndarray       # scalar int32
 
     @classmethod
-    def create(cls, capacity: int, obs_shape, action_dim: int):
+    def create(cls, capacity: int, obs_shape, action_dim: int,
+               obs_dtype=jnp.uint8):
         return cls(
-            obs=jnp.zeros((capacity, *obs_shape), jnp.uint8),
+            obs=jnp.zeros((capacity, *obs_shape), obs_dtype),
             action=jnp.zeros((capacity, action_dim), jnp.float32),
             reward=jnp.zeros((capacity,), jnp.float32),
-            next_obs=jnp.zeros((capacity, *obs_shape), jnp.uint8),
+            next_obs=jnp.zeros((capacity, *obs_shape), obs_dtype),
             done=jnp.zeros((capacity,), jnp.float32),
             ptr=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
@@ -111,19 +113,83 @@ class ReplayBuffer(NamedTuple):
         c = self.obs.shape[0]
         i = self.ptr
         return self._replace(
-            obs=self.obs.at[i].set(obs.astype(jnp.uint8)),
+            obs=self.obs.at[i].set(obs.astype(self.obs.dtype)),
             action=self.action.at[i].set(action),
             reward=self.reward.at[i].set(reward),
-            next_obs=self.next_obs.at[i].set(next_obs.astype(jnp.uint8)),
+            next_obs=self.next_obs.at[i].set(next_obs.astype(self.obs.dtype)),
             done=self.done.at[i].set(done.astype(jnp.float32)),
             ptr=(i + 1) % c,
             size=jnp.minimum(self.size + 1, c),
+        )
+
+    def push_batch(self, obs, action, reward, next_obs, done):
+        """Insert a whole env-batch of transitions at once (ring wraparound
+        by scatter at (ptr + arange(B)) % C)."""
+        c = self.obs.shape[0]
+        b = obs.shape[0]
+        idx = (self.ptr + jnp.arange(b)) % c
+        return self._replace(
+            obs=self.obs.at[idx].set(obs.astype(self.obs.dtype)),
+            action=self.action.at[idx].set(action),
+            reward=self.reward.at[idx].set(reward.astype(jnp.float32)),
+            next_obs=self.next_obs.at[idx].set(next_obs.astype(self.obs.dtype)),
+            done=self.done.at[idx].set(done.astype(jnp.float32)),
+            ptr=(self.ptr + b) % c,
+            size=jnp.minimum(self.size + b, c),
         )
 
     def sample(self, key, batch_size: int):
         idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(self.size, 1))
         return (self.obs[idx], self.action[idx], self.reward[idx],
                 self.next_obs[idx], self.done[idx])
+
+
+class ScanTrunk(nn.Module):
+    """MLP features over strided log-compressed lidar ranges — the
+    bandwidth-light observation for SAC at scale (the bitmap CNN stays for
+    SAL-parity training)."""
+
+    hidden: int = 256
+    stride: int = 8
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, scan):
+        x = jnp.log1p(scan[..., :: self.stride].astype(self.compute_dtype))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.compute_dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.compute_dtype)(x))
+        return x
+
+
+class ScanActor(nn.Module):
+    """Tanh-squashed Gaussian policy over raw scans (drop-in for Actor)."""
+
+    action_dim: int = 2
+    hidden: int = 256
+    stride: int = 8
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, scan):
+        h = ScanTrunk(self.hidden, self.stride, self.compute_dtype)(scan)
+        mean = nn.Dense(self.action_dim, dtype=jnp.float32)(h.astype(jnp.float32))
+        log_std = nn.Dense(self.action_dim, dtype=jnp.float32)(h.astype(jnp.float32))
+        return mean, jnp.clip(log_std, -20.0, 2.0)
+
+
+class ScanCritic(nn.Module):
+    """Q(scan, a) (drop-in for Critic)."""
+
+    hidden: int = 256
+    stride: int = 8
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, scan, action):
+        h = ScanTrunk(self.hidden, self.stride, self.compute_dtype)(scan)
+        h = jnp.concatenate([h.astype(jnp.float32), action], axis=-1)
+        h = nn.relu(nn.Dense(self.hidden, dtype=self.compute_dtype)(h))
+        return nn.Dense(1, dtype=jnp.float32)(h.astype(jnp.float32))
 
 
 class SACState(NamedTuple):
@@ -143,18 +209,20 @@ class SAC:
     def __init__(self, obs_shape=(256, 256), action_dim: int = 32,
                  gamma: float = 0.99, tau: float = 0.005, alpha: float = 0.2,
                  actor_lr: float = 3e-4, critic_lr: float = 3e-4,
-                 compute_dtype=jnp.bfloat16):
-        self.actor = Actor(action_dim, compute_dtype)
-        self.critic = Critic(compute_dtype)
+                 compute_dtype=jnp.bfloat16, actor: nn.Module | None = None,
+                 critic: nn.Module | None = None, obs_dtype=jnp.uint8):
+        self.actor = actor if actor is not None else Actor(action_dim, compute_dtype)
+        self.critic = critic if critic is not None else Critic(compute_dtype)
         self.gamma, self.tau, self.alpha = gamma, tau, alpha
         self.actor_tx = optax.adam(actor_lr)
         self.critic_tx = optax.adam(critic_lr)
         self.obs_shape = obs_shape
         self.action_dim = action_dim
+        self.obs_dtype = obs_dtype
 
     def init(self, key) -> SACState:
         k1, k2, k3 = jax.random.split(key, 3)
-        dummy_obs = jnp.zeros((1, *self.obs_shape), jnp.uint8)
+        dummy_obs = jnp.zeros((1, *self.obs_shape), self.obs_dtype)
         dummy_act = jnp.zeros((1, self.action_dim), jnp.float32)
         ap = self.actor.init(k1, dummy_obs)
         c1 = self.critic.init(k2, dummy_obs, dummy_act)

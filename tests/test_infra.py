@@ -123,6 +123,43 @@ def test_viewer_renders_frame(tmp_path, params):
     assert os.path.exists(out) and os.path.getsize(out) > 10000
 
 
+def test_replay_push_batch_wraparound():
+    from red_gym_tpu.agents.sac import ReplayBuffer
+
+    buf = ReplayBuffer.create(10, (4,), 2, obs_dtype=jnp.float32)
+    obs = jnp.arange(7 * 4, dtype=jnp.float32).reshape(7, 4)
+    act = jnp.ones((7, 2)); r = jnp.arange(7.0); d = jnp.zeros((7,))
+    buf = buf.push_batch(obs, act, r, obs, d)
+    assert int(buf.ptr) == 7 and int(buf.size) == 7
+    buf = buf.push_batch(obs, act, r + 10, obs, d)    # wraps: 7..9 then 0..3
+    assert int(buf.ptr) == 4 and int(buf.size) == 10
+    np.testing.assert_array_equal(np.asarray(buf.reward[7:10]), [10, 11, 12])
+    np.testing.assert_array_equal(np.asarray(buf.reward[0:4]), [13, 14, 15, 16])
+
+
+def test_sac_scan_modules_update():
+    """SAC with the scan MLP actor/critic (the at-scale configuration)
+    runs an update and moves parameters."""
+    from red_gym_tpu.agents import sac as sac_lib
+
+    sac = sac_lib.SAC(obs_shape=(64,), action_dim=2,
+                      actor=sac_lib.ScanActor(action_dim=2, hidden=32, stride=4),
+                      critic=sac_lib.ScanCritic(hidden=32, stride=4),
+                      obs_dtype=jnp.float32)
+    s0 = sac.init(jax.random.PRNGKey(0))
+    batch = (jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (16, 64))) * 5,
+             jnp.tanh(jax.random.normal(jax.random.PRNGKey(2), (16, 2))),
+             jax.random.normal(jax.random.PRNGKey(3), (16,)),
+             jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (16, 64))) * 5,
+             jnp.zeros((16,)))
+    s1, losses = sac.update(s0, batch, jax.random.PRNGKey(5))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    moved = any(bool(jnp.any(a != b)) for a, b in
+                zip(jax.tree.leaves(s0.actor_params),
+                    jax.tree.leaves(s1.actor_params)))
+    assert moved
+
+
 def test_sac_update_smoke():
     """SAC init + a few updates on tiny bitmaps: losses finite, targets move."""
     from red_gym_tpu.agents.sac import SAC, ReplayBuffer
