@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--multi-map", action="store_true",
                     help="train across all packaged tracks: per-env map "
                          "assignment into shared stacked textures")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore trainer state from --save if present")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="checkpoint every N iterations (0 = only at end)")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
@@ -113,7 +117,11 @@ def main():
 
     ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout),
               opponent_plan=opponent_plan)
-    pstate = sh.replicate(mesh, ppo.init(jax.random.PRNGKey(1)))
+    pstate = ppo.init(jax.random.PRNGKey(1))
+    if args.resume and os.path.exists(os.path.abspath(args.save)):
+        pstate = ckpt.restore(args.save, like=pstate)
+        print(f"resumed trainer state from {args.save}")
+    pstate = sh.replicate(mesh, pstate)
     train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 
     steps_per_iter = args.envs * args.rollout
@@ -126,6 +134,8 @@ def main():
               f"reward={float(metrics['reward_mean']):.4f} "
               f"done_rate={float(metrics['done_rate']):.3f} "
               f"({steps_per_iter / dt:,.0f} env-steps/s)", flush=True)
+        if args.ckpt_every and (it + 1) % args.ckpt_every == 0:
+            ckpt.save(args.save, pstate)
 
     ckpt.save(args.save, pstate)
     print(f"saved {args.save}")
