@@ -68,19 +68,27 @@ class RolloutCarry(NamedTuple):
 def make_rollout(cfg: SimConfig, params: EnvParams,
                  policy: Callable[[Observation, jax.Array], jnp.ndarray],
                  steps: int, map_axis: Optional[int] = None,
-                 auto_reset: bool = True, collect: bool = False):
+                 auto_reset: bool = True, collect: bool = False,
+                 randomize_starts=None):
     """Build a jittable rollout fn over batched envs.
 
     ``policy(obs, key) -> actions (E, A, 2)`` is any pure function — a
     scripted controller, a flax policy apply, or random actions.  On done,
     the env restarts from its start_pose with a fresh noise key (the batched
     analogue of the reference's reset-on-done driver loops).
+
+    ``randomize_starts``: optional (M, A, 3) start-pose table for domain
+    randomization over a map-STACKED params (EnvState.map_idx envs): every
+    auto-reset draws a fresh track uniformly and spawns at that track's
+    start pose.
     """
     p_axes = _params_axes(map_axis, params.rtex is not None)
     reset_v = jax.vmap(lambda p, po, k: reset(cfg, p, po, k), in_axes=(p_axes, 0, 0))
     reset_vm = jax.vmap(lambda p, po, k, m: reset(cfg, p, po, k, map_idx=m),
                         in_axes=(p_axes, 0, 0, 0))
     step_v = jax.vmap(lambda p, s, a: step(cfg, p, s, a), in_axes=(p_axes, 0, 0))
+    if randomize_starts is not None:
+        randomize_starts = jnp.asarray(randomize_starts, cfg.jdtype)
 
     def body(carry: RolloutCarry, _):
         key, akey, rkey = jax.random.split(carry.key, 3)
@@ -90,7 +98,15 @@ def make_rollout(cfg: SimConfig, params: EnvParams,
         if auto_reset:
             n_env = done.shape[0]
             rkeys = jax.random.split(rkey, n_env)
-            if state.map_idx is None:
+            if randomize_starts is not None:
+                assert state.map_idx is not None, \
+                    "randomize_starts needs map_idx envs (make_multimap_params)"
+                key, kmap = jax.random.split(key)
+                new_m = jax.random.randint(
+                    kmap, (n_env,), 0, randomize_starts.shape[0])
+                r_state, r_obs, *_ = reset_vm(params, randomize_starts[new_m],
+                                              rkeys, new_m)
+            elif state.map_idx is None:
                 r_state, r_obs, *_ = reset_v(params, state.start_pose, rkeys)
             else:
                 r_state, r_obs, *_ = reset_vm(params, state.start_pose, rkeys,
