@@ -30,16 +30,38 @@ REPS = 20
 
 
 def timeit(name, fn, *args, reps=REPS):
+    """Times reps dispatches with ONE final forcing transfer.
+
+    NB: forcing a result through the remote-TPU relay costs a fixed
+    ~25-30ms round trip — it must be amortized over all reps, never paid
+    per call, or every figure gains a phantom ~reps-independent constant
+    (see docs/performance.md, measurement note)."""
     out = fn(*args)  # compile
     float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))  # force
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
     float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    dt = (time.time() - t0) / reps
+    dt = (time.time() - t0 - _FORCE_COST) / reps
     rate = N_ENVS / dt
     print(f"{name:34s} {dt * 1e3:9.3f} ms/call  {rate / 1e6:8.2f} M env/s")
     return dt
+
+
+def _measure_force_cost():
+    """One device->host forcing round trip (constant per timed region)."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    float(jnp.sum(f(x)))  # compile + warm
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(f(x)))
+        samples.append(time.time() - t0)
+    return min(samples)
+
+
+_FORCE_COST = 0.0
 
 
 def main():
@@ -62,7 +84,10 @@ def main():
     u = jnp.zeros((N_ENVS, N_AGENTS, 2), jnp.float32)
     p = params.vehicle
 
-    print(f"backend={jax.default_backend()}  envs={N_ENVS}  agents={N_AGENTS}")
+    global _FORCE_COST
+    _FORCE_COST = _measure_force_cost()
+    print(f"backend={jax.default_backend()}  envs={N_ENVS}  agents={N_AGENTS}  "
+          f"(forcing round trip {_FORCE_COST * 1e3:.1f} ms, subtracted)")
 
     # NB: always pass params as jit ARGUMENTS — closing over them embeds the
     # map/range textures as HLO constants, which blows the remote-compile
