@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from red_gym_tpu.config import Integrator, SimConfig
 from red_gym_tpu import env as envlib
-from red_gym_tpu.agents.ppo import PPO, PPOConfig, ScanPolicy
+from red_gym_tpu.agents.ppo import PPO, PPOConfig
 from red_gym_tpu.parallel import sharding as sh
 from red_gym_tpu.assets import example_map_yaml
 from red_gym_tpu.utils import checkpoint as ckpt

@@ -14,12 +14,12 @@ CubicSpline (the reference's interpolator, SAL.py:643-644) to fp precision.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,6 @@ Faithful semantic notes:
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -15,10 +15,8 @@ policy for SAL-compat lives in agents/sac.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,10 +15,8 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from red_gym_tpu.config import SimConfig
 from red_gym_tpu.env import EnvParams
 from red_gym_tpu.maps.loader import TrackMap
 

@@ -19,7 +19,6 @@ class Viewer:
 
     def __init__(self, env_params, cfg, figsize=(8, 8), follow: bool = True,
                  window: float = 15.0):
-        import matplotlib
         import matplotlib.pyplot as plt
 
         self._plt = plt

@@ -9,7 +9,6 @@ device meshes (see red_gym_tpu/parallel/sharding.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -13,7 +13,7 @@ numpy update (dimension ~4) — the right split of work between host and MXU.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Sequence
+from typing import Callable, Dict, Sequence
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ step; only the state handle lives on the Python side.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax
@@ -19,7 +18,6 @@ import jax.numpy as jnp
 
 from red_gym_tpu.config import Integrator, SimConfig, VehicleParams
 from red_gym_tpu import env as envlib
-from red_gym_tpu.rollout import _params_axes
 
 
 class VecF110Env:

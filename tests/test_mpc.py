@@ -5,7 +5,6 @@ scipy's bounded quasi-Newton on the identical convex objective)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 from scipy.interpolate import CubicSpline
 from scipy.optimize import minimize
 

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from red_gym_tpu.config import Integrator, SimConfig
+from red_gym_tpu.config import SimConfig
 from red_gym_tpu.maps.loader import load_map
 from red_gym_tpu.ops import scan as scan_ops, scan_fast
 from red_gym_tpu import env as envlib

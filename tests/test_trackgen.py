@@ -1,6 +1,5 @@
 """Track generator tests: generated maps load and are drivable."""
 
-import os
 
 import numpy as np
 import jax

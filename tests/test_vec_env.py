@@ -4,7 +4,6 @@ import glob
 import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from red_gym_tpu.vec_env import VecF110Env
 
