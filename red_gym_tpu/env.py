@@ -371,8 +371,13 @@ class F110Env:
         self.params = self.params._replace(vehicle=vehicle)
 
     def update_map(self, map_path: str, map_ext: str = ".png"):
-        self.params = self.params._replace(
-            tmap=load_map(map_path, map_ext, dtype=self.cfg.jdtype))
+        tmap = load_map(map_path, map_ext, dtype=self.cfg.jdtype)
+        rtex = self.params.rtex
+        if self.cfg.scan_mode == "fast":
+            # the range texture is map-derived: rebuild, never keep stale
+            rtex = scan_fast.build_range_texture(tmap, self.cfg)
+        self.params = self.params._replace(tmap=tmap, rtex=rtex)
+        self._renderer = None  # map raster changed
 
     def add_render_callback(self, fn):
         self.render_callbacks.append(fn)

@@ -57,6 +57,20 @@ def test_update_map(env):
     env.update_map(MAP_YAML + ".yaml", ".png")  # restore for other tests
 
 
+def test_update_map_rebuilds_range_texture():
+    """Regression: in fast scan mode update_map must rebuild the map-derived
+    range texture, not keep a stale one from the old map."""
+    from red_gym_tpu.env import F110Env
+
+    env = F110Env(map=MAP_YAML, map_ext=".png", num_agents=1, num_beams=54,
+                  dtype="float64", scan_mode="fast", rt_theta_bins=16,
+                  rt_pose_stride=16)
+    rt_before = env.params.rtex.rt
+    env.update_map("/root/reference/gym/f110_gym/envs/maps/berlin.yaml", ".png")
+    assert env.params.rtex.rt.shape != rt_before.shape or \
+        not bool((env.params.rtex.rt == rt_before).all())
+
+
 def test_flippy_planner_probe(env):
     """The reference's adversarial integrator probe
     (examples/waypoint_follow.py:220-238): alternating hard steer at low
