@@ -53,6 +53,10 @@ def main():
                     help="restore trainer state from --save if present")
     ap.add_argument("--ckpt-every", type=int, default=0,
                     help="checkpoint every N iterations (0 = only at end)")
+    ap.add_argument("--eval", action="store_true",
+                    help="no training: load --save and roll the mean policy, "
+                         "reporting laps/speed/crashes")
+    ap.add_argument("--eval-steps", type=int, default=6000)
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
@@ -118,9 +122,39 @@ def main():
     ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout),
               opponent_plan=opponent_plan)
     pstate = ppo.init(jax.random.PRNGKey(1))
-    if args.resume and os.path.exists(os.path.abspath(args.save)):
+    if (args.resume or args.eval) and os.path.exists(os.path.abspath(args.save)):
         pstate = ckpt.restore(args.save, like=pstate)
-        print(f"resumed trainer state from {args.save}")
+        print(f"restored trainer state from {args.save}")
+
+    if args.eval:
+        from red_gym_tpu.agents.ppo import action_to_control
+
+        def body(pr, pparams, carry, _):
+            states, obs = carry
+            mean, _, _ = ppo.policy.apply(pparams, obs.scans[:, 0],
+                                          obs.linear_vels_x[:, 0])
+            act = ppo._env_actions(mean, obs)
+            states, obs, _, done, _ = jax.vmap(
+                lambda p_, s, a: envlib.step(cfg, p_, s, a),
+                in_axes=(None, 0, 0))(pr, states, act)
+            return (states, obs), (obs.linear_vels_x[:, 0],
+                                   obs.collisions[:, 0], states.lap_counts[:, 0])
+
+        @jax.jit
+        def rollout(pr, pparams, states, obs):
+            return jax.lax.scan(lambda c, x: body(pr, pparams, c, x),
+                                (states, obs), None, length=args.eval_steps)
+
+        (states, obs), (vels, colls, laps) = rollout(env_params, pstate.params,
+                                                     states, obs)
+        vels, colls, laps = map(np.asarray, (vels, colls, laps))
+        print(f"eval over {args.envs} envs x {args.eval_steps} steps "
+              f"({args.eval_steps * cfg.timestep:.0f}s sim):")
+        print(f"  mean speed {vels.mean():.2f} m/s   "
+              f"crash rate {(colls.sum(0) > 0).mean():.3f}   "
+              f"final laps (mean) {laps[-1].mean():.2f}")
+        return
+
     pstate = sh.replicate(mesh, pstate)
     train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 
