@@ -1,0 +1,66 @@
+"""Simulation-state sanitizers and debug helpers.
+
+The reference has no runtime diagnostics; its closest hazard was global
+mutable scan state shared across envs (reference: base_classes.py:62-66),
+eliminated here by design.  What remains worth guarding in long batched
+runs: numerical blow-ups (NaN/Inf from extreme params or dt), states
+escaping the map, and constraint violations.  ``check_state`` is
+jit-friendly (returns violation counts, no host sync); ``explain`` turns
+its report into human-readable findings on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from red_gym_tpu.config import SimConfig
+from red_gym_tpu.env import EnvParams, EnvState
+
+
+def check_state(cfg: SimConfig, params: EnvParams, state: EnvState
+                ) -> Dict[str, jnp.ndarray]:
+    """Violation counts over a (batched) EnvState — pure, jittable,
+    vmappable; all entries are integer counts (0 == healthy)."""
+    x = state.x
+    p = params.vehicle
+    nonfinite = jnp.sum(~jnp.isfinite(x))
+
+    # pose inside the map rectangle (world frame, per true map extents)
+    t = params.tmap
+    xt = x[..., 0] - t.orig_x
+    yt = x[..., 1] - t.orig_y
+    xr = xt * t.orig_c + yt * t.orig_s
+    yr = -xt * t.orig_s + yt * t.orig_c
+    w_m = t.width.astype(xr.dtype) * t.resolution
+    h_m = t.height.astype(yr.dtype) * t.resolution
+    off_map = jnp.sum((xr < 0) | (xr > w_m) | (yr < 0) | (yr > h_m))
+
+    eps = jnp.asarray(1e-4, x.dtype)
+    over_speed = jnp.sum((x[..., 3] > p.v_max + eps)
+                         | (x[..., 3] < p.v_min - eps))
+    over_steer = jnp.sum((x[..., 2] > p.s_max + eps)
+                         | (x[..., 2] < p.s_min - eps))
+    bad_yaw = jnp.sum((x[..., 4] < -2 * jnp.pi) | (x[..., 4] > 4 * jnp.pi))
+    bad_clock = jnp.sum(state.current_time < 0) + jnp.sum(state.lap_times < 0)
+    return {"nonfinite": nonfinite, "off_map": off_map,
+            "over_speed": over_speed, "over_steer": over_steer,
+            "bad_yaw": bad_yaw, "bad_clock": bad_clock}
+
+
+def explain(report: Dict[str, jnp.ndarray]) -> list[str]:
+    """Host-side: the nonzero findings of a check_state report."""
+    return [f"{k}: {int(v)} violations" for k, v in report.items()
+            if int(np.asarray(v)) > 0]
+
+
+def assert_healthy(cfg: SimConfig, params: EnvParams, state: EnvState):
+    """Host-side hard assert (forces a sync; use at episode boundaries,
+    not in the hot loop)."""
+    findings = explain(jax.jit(check_state, static_argnums=0)(
+        cfg, params, state))
+    if findings:
+        raise AssertionError("unhealthy sim state: " + "; ".join(findings))

@@ -123,6 +123,31 @@ def test_viewer_renders_frame(tmp_path, params):
     assert os.path.exists(out) and os.path.getsize(out) > 10000
 
 
+def test_state_sanitizer(params):
+    from red_gym_tpu.utils import debug
+
+    states, obs, *_ = _batch(params, e=4)
+    debug.assert_healthy(CFG, params, states)   # fresh states are healthy
+
+    # corrupt one env: NaN velocity + off-map position + illegal steer
+    x = np.asarray(states.x).copy()
+    x[0, 0, 3] = np.nan
+    x[1, 0, 0] = 1e6
+    x[2, 0, 2] = 9.9
+    bad = states._replace(x=jnp.asarray(x))
+    rep = debug.check_state(CFG, params, bad)
+    assert int(rep["nonfinite"]) == 1
+    assert int(rep["off_map"]) >= 1
+    assert int(rep["over_steer"]) == 1
+    findings = debug.explain(rep)
+    assert any("nonfinite" in f for f in findings)
+    try:
+        debug.assert_healthy(CFG, params, bad)
+        raise RuntimeError("assert_healthy accepted a corrupted state")
+    except AssertionError:
+        pass
+
+
 def test_replay_push_batch_wraparound():
     from red_gym_tpu.agents.sac import ReplayBuffer
 
