@@ -25,13 +25,15 @@ from red_gym_tpu import env as envlib
 from red_gym_tpu.assets import example_map_yaml
 
 N_ENVS = int(os.environ.get("BENCH_ENVS", 16384))
-N_AGENTS = 2
+N_AGENTS = int(os.environ.get("BENCH_AGENTS", 2))
 # enough steps per timed call that the one forcing transfer (a ~25-30ms
 # relay round trip on remote TPU backends) is amortized below 1%
 STEPS = int(os.environ.get("BENCH_STEPS", 120))
 SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
 SCAN_INTERP = os.environ.get("BENCH_SCAN_INTERP", "spectral")
-START = np.array([[0.7, 0.0, 1.37079632679], [0.7, -1.0, 1.37079632679]])
+# staggered grid spawns behind the start line
+START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
+                  for i in range(N_AGENTS)])
 
 
 def main():
