@@ -43,9 +43,10 @@ def main():
     ap.add_argument("--save", type=str, default="ppo_ckpt")
     ap.add_argument("--map", type=str, default=None)
     ap.add_argument("--opponents", type=str, default="cruise",
-                    choices=["cruise", "pursuit"],
-                    help="non-ego agents hold slow-straight or track the "
-                         "raceline with pure pursuit")
+                    choices=["cruise", "pursuit", "self"],
+                    help="non-ego agents hold slow-straight, track the "
+                         "raceline with pure pursuit, or mirror the learning "
+                         "policy (self-play)")
     ap.add_argument("--multi-map", action="store_true",
                     help="train across all packaged tracks: per-env map "
                          "assignment into shared stacked textures")
@@ -111,7 +112,9 @@ def main():
     obs = sh.shard_envs(mesh, obs)
 
     opponent_plan = None
-    if args.opponents == "pursuit" and args.agents > 1:
+    if args.opponents == "self":
+        opponent_plan = "self"
+    elif args.opponents == "pursuit" and args.agents > 1:
         from red_gym_tpu.agents import pure_pursuit as pp
         from red_gym_tpu.agents.ppo import pure_pursuit_opponents
         from red_gym_tpu.assets import example_waypoints_csv
@@ -133,7 +136,7 @@ def main():
             states, obs = carry
             mean, _, _ = ppo.policy.apply(pparams, obs.scans[:, 0],
                                           obs.linear_vels_x[:, 0])
-            act = ppo._env_actions(mean, obs)
+            act = ppo._env_actions(mean, obs, pparams)
             states, obs, _, done, _ = jax.vmap(
                 lambda p_, s, a: envlib.step(cfg, p_, s, a),
                 in_axes=(None, 0, 0))(pr, states, act)

@@ -99,8 +99,9 @@ def pure_pursuit_opponents(ppp):
 class PPO:
     """Ego-agent PPO over batched envs.  Opponents act through the
     ``opponent_plan`` hook — fn(obs) -> (E, A, 2) controls for ALL agents,
-    of which the non-ego rows are used (default: hold slow straight; see
-    pure_pursuit_opponents for raceline-tracking opponents)."""
+    of which the non-ego rows are used.  Options: None (hold slow straight),
+    pure_pursuit_opponents(...) (raceline-tracking traffic), or the string
+    "self" (self-play: the current policy's mean action drives opponents)."""
 
     def __init__(self, cfg: SimConfig, env_params: EnvParams,
                  pcfg: PPOConfig = PPOConfig(), policy: ScanPolicy | None = None,
@@ -129,16 +130,21 @@ class PPO:
         logp = gaussian_logp(mean, log_std, act)
         return act, logp, value
 
-    def _env_actions(self, act, obs: Observation):
+    def _env_actions(self, act, obs: Observation, pparams=None):
         """Ego action from the policy; opponents from the opponent_plan hook
-        (default: cruise slow and straight)."""
+        (default: cruise slow and straight; "self" = self-play, the current
+        policy's mean action drives every opponent too)."""
         e = act.shape[0]
         a = self.cfg.num_agents
         ctrl = jnp.zeros((e, a, 2), self.cfg.jdtype)
         ctrl = ctrl.at[:, self.cfg.ego_idx, :].set(
             action_to_control(act, self.pcfg, self.cfg.jdtype))
         if a > 1:
-            if self.opponent_plan is not None:
+            if self.opponent_plan == "self":
+                mean, _, _ = self.policy.apply(pparams, obs.scans,
+                                               obs.linear_vels_x)  # (E, A, 2)
+                others = action_to_control(mean, self.pcfg, self.cfg.jdtype)
+            elif self.opponent_plan is not None:
                 others = self.opponent_plan(obs).astype(self.cfg.jdtype)
             else:
                 others = jnp.broadcast_to(
@@ -172,7 +178,8 @@ class PPO:
             key, ka, kr = jax.random.split(key, 3)
             act, logp, value = self._policy_step(pstate.params, obs, ka)
             env_states2, obs2, reward, done, _ = step_v(
-                params, env_states, self._env_actions(act, obs))
+                params, env_states,
+                self._env_actions(act, obs, pstate.params))
 
             ego = cfg.ego_idx
             # shaped reward: forward progress - collision penalty
