@@ -120,11 +120,12 @@ def save_track(outdir: str, name: str, center: np.ndarray, img: np.ndarray,
     return os.path.join(outdir, f"{name}.yaml")
 
 
-def generate(outdir: str, seed: int = 0, name: str | None = None, **kw) -> str:
+def generate(outdir: str, seed: int = 0, name: str | None = None,
+             half_width: float = 2.6, **kw) -> str:
     center = generate_centerline(seed, **{k: v for k, v in kw.items()
                                           if k in ("n_checkpoints", "radius",
                                                    "rad_jitter", "n_points")})
-    img, origin = rasterize_track(center)
+    img, origin = rasterize_track(center, half_width=half_width)
     return save_track(outdir, name or f"track_{seed:04d}", center, img, origin)
 
 
@@ -135,9 +136,16 @@ def main():
     ap.add_argument("--outdir", type=str,
                     default=os.path.join(os.path.dirname(__file__), "..",
                                          "assets", "data"))
+    ap.add_argument("--half-width", type=float, default=2.6,
+                    help="track corridor half width [m]")
+    ap.add_argument("--checkpoints", type=int, default=14,
+                    help="number of layout checkpoints (more = twistier)")
+    ap.add_argument("--name", type=str, default=None)
     args = ap.parse_args()
     for i in range(args.n):
-        path = generate(args.outdir, seed=args.seed + i)
+        path = generate(args.outdir, seed=args.seed + i, name=args.name,
+                        half_width=args.half_width,
+                        n_checkpoints=args.checkpoints)
         print("wrote", path)
 
 
