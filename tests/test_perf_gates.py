@@ -1,0 +1,89 @@
+"""Throughput floor gates, mirroring the reference's in-module perf tests
+(reference: dynamic_models.py:271-279 >5k RHS calls/s; laser_models.py:
+534-552 >500 scans/s; collision_models.py:296-336 >500 checks/s).
+
+Vectorized equivalents with generous CPU margins — these exist to catch
+order-of-magnitude regressions (an accidental per-element fallback, a lost
+vmap), not to benchmark.  Compile time is excluded.
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from red_gym_tpu.config import Integrator, SimConfig, VehicleParams
+from red_gym_tpu import env as envlib
+from red_gym_tpu.ops import collision as col, dynamics as dyn, integrate
+
+MAP_YAML = "/root/reference/examples/example_map.yaml"
+
+
+def _rate(fn, *args, reps=3, units=1):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return units * reps / (time.time() - t0)
+
+
+def test_dynamics_rhs_rate():
+    """Reference gate: >5,000 serial RHS calls/s.  Vectorized over 4096 cars
+    we require >1M car-RHS/s on CPU (typically 100x that)."""
+    p = VehicleParams.default(jnp.float64)
+    x = jnp.zeros((4096, 7), jnp.float64).at[:, 3].set(3.0)
+    u = jnp.zeros((4096, 2), jnp.float64)
+    f = jax.jit(lambda x, u: dyn.vehicle_dynamics_st(x, u, p))
+    assert _rate(f, x, u, units=4096) > 1e6
+
+
+def test_scan_rate():
+    """Reference gate: >500 scans/s (1080 beams).  Batched exact-mode march
+    for 64 poses must beat 500 scans/s on CPU with margin."""
+    cfg = SimConfig(num_agents=1, num_beams=1080, dtype="float64",
+                    march_iters=48)
+    params = envlib.make_params(cfg, MAP_YAML, ".png")
+    from red_gym_tpu.ops import scan as scan_ops
+
+    poses = jnp.tile(jnp.asarray([[0.7, 0.0, 1.37]], jnp.float64), (64, 1))
+    f = jax.jit(lambda pr, po: scan_ops.trace(po, pr.tables, pr.tmap, cfg))
+    assert _rate(f, params, poses, units=64) > 1000
+
+
+def test_collision_rate():
+    """Reference gate: >500 pairwise GJK checks/s.  Batched SAT for 4096
+    pairs must beat 100k checks/s on CPU."""
+    rng = np.random.default_rng(0)
+    poses = jnp.asarray(rng.uniform(-5, 5, (4096, 2, 3)))
+    f = jax.jit(lambda po: col.collision_multiple(
+        col.get_vertices(po, 0.58, 0.31))[0])
+    assert _rate(f, poses, units=4096) > 1e5
+
+
+def test_full_step_rate():
+    """Full 2-agent env step, 256 envs, fast scan: >10k env-steps/s on CPU
+    (the reference's whole-env claim was ~3k steps/s)."""
+    cfg = SimConfig(num_agents=2, num_beams=270, dtype="float64",
+                    scan_mode="fast", rt_theta_bins=32, rt_pose_stride=8)
+    params = envlib.make_params(cfg, MAP_YAML, ".png")
+    poses = jnp.tile(jnp.asarray(
+        [[0.7, 0.0, 1.37], [0.7, -1.0, 1.37]], jnp.float64), (256, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    states = jax.jit(jax.vmap(
+        lambda pr, po, k: envlib.init_state(cfg, po, k),
+        in_axes=(None, 0, 0)))(params, poses, keys)
+    acts = jnp.tile(jnp.asarray([[0.05, 2.0], [0.0, 1.5]], jnp.float64),
+                    (256, 1, 1))
+
+    @jax.jit
+    def step20(pr, s):
+        def body(ss, _):
+            ss, *_ = jax.vmap(lambda a, b: envlib.step(cfg, pr, a, b))(ss, acts)
+            return ss, None
+        return jax.lax.scan(body, s, None, length=20)[0]
+
+    assert _rate(step20, params, states, units=256 * 20) > 1e4
