@@ -24,13 +24,29 @@ from red_gym_tpu.env import EnvParams, EnvState
 def check_state(cfg: SimConfig, params: EnvParams, state: EnvState
                 ) -> Dict[str, jnp.ndarray]:
     """Violation counts over a (batched) EnvState — pure, jittable,
-    vmappable; all entries are integer counts (0 == healthy)."""
+    vmappable; all entries are integer counts (0 == healthy).
+
+    With a map-STACKED params (multi-map), per-env map extents are selected
+    through state.map_idx."""
     x = state.x
     p = params.vehicle
     nonfinite = jnp.sum(~jnp.isfinite(x))
 
     # pose inside the map rectangle (world frame, per true map extents)
     t = params.tmap
+    if t.dt.ndim == 3:   # stacked maps: select per-env scalars by map index
+        assert state.map_idx is not None, \
+            "stacked-map params need state.map_idx for bounds checks"
+        mi = state.map_idx
+        from red_gym_tpu.maps.loader import TrackMap
+        t = TrackMap(dt=t.dt, occupancy=t.occupancy,
+                     orig_x=t.orig_x[mi][..., None],
+                     orig_y=t.orig_y[mi][..., None],
+                     orig_c=t.orig_c[mi][..., None],
+                     orig_s=t.orig_s[mi][..., None],
+                     resolution=t.resolution[mi][..., None],
+                     height=t.height[mi][..., None],
+                     width=t.width[mi][..., None])
     xt = x[..., 0] - t.orig_x
     yt = x[..., 1] - t.orig_y
     xr = xt * t.orig_c + yt * t.orig_s

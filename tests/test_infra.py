@@ -148,6 +148,32 @@ def test_state_sanitizer(params):
         pass
 
 
+def test_state_sanitizer_multimap():
+    """check_state selects per-env map extents via map_idx on stacked maps."""
+    import glob
+
+    from red_gym_tpu import rollout as ro
+    from red_gym_tpu.utils import debug
+
+    data = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu",
+                        "assets", "data")
+    yamls = sorted(glob.glob(os.path.join(data, "track_*.yaml")))[:2]
+    cfg = SimConfig(num_agents=1, num_beams=54, dtype="float64",
+                    march_iters=16)
+    params = envlib.make_multimap_params(cfg, yamls)
+    poses = []
+    for y in yamls:
+        w = np.loadtxt(y.replace(".yaml", "_waypoints.csv"), delimiter=";",
+                       comments="#")
+        poses.append([[w[0, 1], w[0, 2], 0.0]])
+    poses = jnp.asarray(poses, jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    states, *_ = ro.batched_reset(cfg, params, poses, keys,
+                                  map_idx=np.array([0, 1]))
+    rep = debug.check_state(cfg, params, states)
+    assert all(int(v) == 0 for v in jax.tree.leaves(rep))
+
+
 def test_replay_push_batch_wraparound():
     from red_gym_tpu.agents.sac import ReplayBuffer
 
