@@ -153,6 +153,24 @@ def test_pallas_epilogue_matches_xla(setup):
                                rtol=1e-10, atol=1e-10)
 
 
+def test_mxu_variant_fov47(setup):
+    """The constant-matmul path handles a non-2pi FOV (upstream default
+    4.7 rad): beam offsets c_b span only part of the circle, kb stays
+    negative at the left edge."""
+    import dataclasses
+
+    tmap, _, _ = setup
+    cfg = dataclasses.replace(CFG, fov=4.7, num_beams=108)
+    tables = scan_ops.build_tables(cfg, 0.31, 0.58, dtype=jnp.float64)
+    rtex = scan_fast.build_range_texture(tmap, cfg)
+    rng = np.random.default_rng(21)
+    poses = jnp.asarray(np.stack([rng.uniform(-5, 5, 6), rng.uniform(-5, 5, 6),
+                                  rng.uniform(0, 2 * np.pi, 6)], axis=-1))
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, cfg))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
+
+
 def test_texture_shapes(setup):
     tmap, tables, rtex = setup
     hc, wc = int(rtex.hc), int(rtex.wc)
