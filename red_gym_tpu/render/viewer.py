@@ -18,7 +18,7 @@ class Viewer:
     """Stateful renderer fed from EnvState snapshots."""
 
     def __init__(self, env_params, cfg, figsize=(8, 8), follow: bool = True,
-                 window: float = 15.0):
+                 window: float = 15.0, map_idx: int = 0):
         import matplotlib.pyplot as plt
 
         self._plt = plt
@@ -32,6 +32,11 @@ class Viewer:
         self._state = None
 
         tmap = env_params.tmap
+        if np.asarray(tmap.occupancy).ndim == 3:   # stacked multi-map params
+            from red_gym_tpu.maps.loader import TrackMap
+
+            tmap = TrackMap(*[np.asarray(getattr(tmap, f))[map_idx]
+                              for f in TrackMap._fields])
         occ = np.asarray(tmap.occupancy)
         res = float(np.asarray(tmap.resolution))
         ox, oy = float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y))
