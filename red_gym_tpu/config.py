@@ -153,6 +153,22 @@ class SimConfig:
     # interpolation semantics with a Lanczos anti-ringing window.
     scan_interp: str = "linear"
 
+    def __post_init__(self):
+        if self.scan_mode not in ("exact", "fast"):
+            raise ValueError(f"scan_mode must be 'exact' or 'fast', got "
+                             f"{self.scan_mode!r}")
+        if self.scan_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"scan_backend must be 'auto'|'xla'|'pallas', "
+                             f"got {self.scan_backend!r}")
+        if self.scan_interp not in ("linear", "spectral"):
+            raise ValueError(f"scan_interp must be 'linear'|'spectral', got "
+                             f"{self.scan_interp!r}")
+        if self.num_agents < 1 or self.num_beams < 2:
+            raise ValueError("need num_agents >= 1 and num_beams >= 2")
+        if self.ego_idx < 0 or self.ego_idx >= self.num_agents:
+            raise ValueError(f"ego_idx {self.ego_idx} out of range for "
+                             f"{self.num_agents} agents")
+
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
