@@ -114,7 +114,7 @@ class ReplayBuffer(NamedTuple):
         i = self.ptr
         return self._replace(
             obs=self.obs.at[i].set(obs.astype(self.obs.dtype)),
-            action=self.action.at[i].set(action),
+            action=self.action.at[i].set(action.astype(self.action.dtype)),
             reward=self.reward.at[i].set(reward),
             next_obs=self.next_obs.at[i].set(next_obs.astype(self.obs.dtype)),
             done=self.done.at[i].set(done.astype(jnp.float32)),
@@ -130,7 +130,7 @@ class ReplayBuffer(NamedTuple):
         idx = (self.ptr + jnp.arange(b)) % c
         return self._replace(
             obs=self.obs.at[idx].set(obs.astype(self.obs.dtype)),
-            action=self.action.at[idx].set(action),
+            action=self.action.at[idx].set(action.astype(self.action.dtype)),
             reward=self.reward.at[idx].set(reward.astype(jnp.float32)),
             next_obs=self.next_obs.at[idx].set(next_obs.astype(self.obs.dtype)),
             done=self.done.at[idx].set(done.astype(jnp.float32)),

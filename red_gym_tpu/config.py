@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -152,6 +152,13 @@ class SimConfig:
     # constant matrix — no 3-tap elementwise tail (fastest), trigonometric
     # interpolation semantics with a Lanczos anti-ringing window.
     scan_interp: str = "linear"
+    # fork delta (reference base_classes.py:68,91,280): pluggable low-level
+    # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
+    # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
+    # reference default).  Must be a pure jnp function; it is trace-time
+    # static (part of the compiled program), matching the reference's
+    # construction-time injection.
+    speed_controller: Optional[Callable] = None
 
     def __post_init__(self):
         if self.scan_mode not in ("exact", "fast"):
@@ -168,6 +175,9 @@ class SimConfig:
         if self.ego_idx < 0 or self.ego_idx >= self.num_agents:
             raise ValueError(f"ego_idx {self.ego_idx} out of range for "
                              f"{self.num_agents} agents")
+        if self.speed_controller is not None and not callable(self.speed_controller):
+            raise ValueError("speed_controller must be callable (or None for "
+                             "the reference PID)")
 
     @property
     def jdtype(self):

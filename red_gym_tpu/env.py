@@ -183,8 +183,11 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
 
     steer, steer_buf, steer_cnt = _steer_delay(cfg, state, raw_steer)
 
-    accl, sv = dyn.pid(vel_cmd, steer, state.x[:, 3], state.x[:, 2],
-                       p.sv_max, p.a_max, p.v_max, p.v_min)
+    # pluggable low-level controller (fork delta, reference
+    # base_classes.py:68,91,280); default = the reference PID
+    controller = cfg.speed_controller or dyn.pid
+    accl, sv = controller(vel_cmd, steer, state.x[:, 3], state.x[:, 2],
+                          p.sv_max, p.a_max, p.v_max, p.v_min)
     # component-tuple (struct-of-arrays) integration: the whole RK4 step
     # fuses into a few XLA kernels instead of ~50 stack/slice fusions
     xt = tuple(state.x[:, i] for i in range(7))
@@ -210,9 +213,13 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
             sub, (cfg.num_beams,), dtype=scans.dtype)
         scans = scans + noise[None, :]
 
-    # pairwise body collision (base_classes.py:529-543)
+    # pairwise body collision (base_classes.py:529-543) — rectangle SAT
+    # straight from poses (vertices are still built for the opponent ray
+    # cast below); same boolean as collision_multiple, ~30 fused scalar ops
+    # instead of tiny padded einsums (2.4 ms/step -> noise at 16k envs)
     verts = col.get_vertices(poses, p.length, p.width)
-    body_hits, _ = col.collision_multiple(verts)
+    body_hits = col.pairwise_hits_from_poses(
+        poses, p.length, p.width).astype(x.dtype)
 
     # iTTC against walls -> freeze dynamic state (base_classes.py:227-252);
     # single fused elementwise mask, not a scatter-then-select

@@ -64,6 +64,61 @@ def collision(verts1, verts2):
     return ~jnp.any(separated, axis=-1)
 
 
+def _obb_overlap(pose1, pose2, hl1, hw1, hl2, hw2):
+    """Rectangle-vs-rectangle SAT directly from poses — no vertex tensors.
+
+    The general quad SAT above broadcasts (..., pair, 8 axes, 4 verts)
+    einsums whose tiny trailing dims pad disastrously on TPU tile layouts
+    (measured 2.4 ms/step at 16k envs — a third of the whole step).  For
+    rectangles only 4 distinct axes exist and every projection has a closed
+    form, so the whole test is ~30 scalar elementwise ops that fuse into
+    the step's other (E, A) arithmetic.  Boolean semantics identical to
+    `collision` (touching = separated = no hit).
+
+    pose* (..., 3); h* half extents (length/2, width/2), broadcastable.
+    """
+    dx = pose2[..., 0] - pose1[..., 0]
+    dy = pose2[..., 1] - pose1[..., 1]
+    c1, s1 = jnp.cos(pose1[..., 2]), jnp.sin(pose1[..., 2])
+    c2, s2 = jnp.cos(pose2[..., 2]), jnp.sin(pose2[..., 2])
+
+    # |cos/sin of the relative heading| = all four |axis . axis| dot products
+    a_uu = jnp.abs(c1 * c2 + s1 * s2)    # |u1.u2| = |w1.w2|
+    a_uw = jnp.abs(s1 * c2 - c1 * s2)    # |u1.w2| = |w1.u2|
+
+    sep = ((jnp.abs(dx * c1 + dy * s1) >= hl1 + hl2 * a_uu + hw2 * a_uw)
+           | (jnp.abs(-dx * s1 + dy * c1) >= hw1 + hl2 * a_uw + hw2 * a_uu)
+           | (jnp.abs(dx * c2 + dy * s2) >= hl2 + hl1 * a_uu + hw1 * a_uw)
+           | (jnp.abs(-dx * s2 + dy * c2) >= hw2 + hl1 * a_uw + hw1 * a_uu))
+    return ~sep
+
+
+def pairwise_hits_from_poses(poses, length, width):
+    """Per-agent body-collision flags straight from poses (A, 3) -> bool (A,).
+
+    The env hot path needs only "does agent i overlap anyone" — not the
+    partner index — so agents are paired by rolling the pose array
+    (ceil((A-1)/2) rectangle-SAT passes, each shared by both ends of the
+    pair) instead of materializing the (A, A, 8, 4) projection tensors of
+    `collision_multiple`.  length/width scalars or (A,) per-agent.
+    """
+    a_n = poses.shape[0]
+    hl = jnp.broadcast_to(length / 2.0, (a_n,))
+    hw = jnp.broadcast_to(width / 2.0, (a_n,))
+    hits = jnp.zeros((a_n,), bool)
+    for k in range(1, a_n // 2 + 1):
+        other = jnp.roll(poses, -k, axis=0)
+        hl2 = jnp.roll(hl, -k)
+        hw2 = jnp.roll(hw, -k)
+        o = _obb_overlap(poses, other, hl, hw, hl2, hw2)
+        hits = hits | o
+        if not (a_n % 2 == 0 and k == a_n // 2):
+            # agent (i+k) collides with i too; the even-A middle pass
+            # already sees each pair from both sides
+            hits = hits | jnp.roll(o, k)
+    return hits
+
+
 def collision_multiple(vertices):
     """All-pairs collision over bodies (..., N, 4, 2).
 

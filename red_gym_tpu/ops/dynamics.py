@@ -106,7 +106,10 @@ def vehicle_dynamics_st_t(xt, sv0, ac0, p: VehicleParams):
     # re-applies the (idempotent) constraints; we call the same path.
     f_ks5 = vehicle_dynamics_ks_t(xt[:5], sv, ac, p)
     cos_s = jnp.cos(xt[2])
-    f_ks_6 = ac / lwb * jnp.tan(xt[2]) + xt[3] / (lwb * cos_s * cos_s) * sv
+    # NB the denominator associates as lwb*(cos^2) — the reference writes
+    # lwb*np.cos(x[2])**2 (dynamic_models.py:159); (lwb*cos)*cos differs by
+    # an ulp and breaks bit-exact trajectory parity
+    f_ks_6 = ac / lwb * jnp.tan(xt[2]) + xt[3] / (lwb * (cos_s * cos_s)) * sv
 
     # --- dynamic branch (dynamic_models.py:162-174), v guarded where unused.
     v = jnp.where(use_ks, 1.0, xt[3])

@@ -93,6 +93,15 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         origins = jnp.stack([x, y], axis=-1)                    # (B, Wc, 2)
         ranges = scan_ops.trace_angles(origins, angles, tmap, cfg_march)
         free = scan_ops.dt_lookup(x, y, tmap) > 0.0
+        # cells whose center lies beyond the TRUE map extents must be
+        # invalid: dt_lookup's OOB read wraps to dt[-1,-1] (the reference
+        # numpy quirk), which is free on maps whose corner pixel is free —
+        # that would mark garbage marched rows valid and bleed into scans
+        # near the map edge
+        cy = (r_idx.astype(dtype) + 0.5) * stride
+        cx = (c_idx.astype(dtype) + 0.5) * stride
+        free = free & (cy < tmap.height.astype(dtype)) \
+                    & (cx < tmap.width.astype(dtype))
         return ranges * free[..., None].astype(dtype), free
 
     rt_rows = []

@@ -34,19 +34,22 @@ def check_state(cfg: SimConfig, params: EnvParams, state: EnvState
 
     # pose inside the map rectangle (world frame, per true map extents)
     t = params.tmap
-    if t.dt.ndim == 3:   # stacked maps: select per-env scalars by map index
-        assert state.map_idx is not None, \
-            "stacked-map params need state.map_idx for bounds checks"
-        mi = state.map_idx
+    if t.dt.ndim == 3:
         from red_gym_tpu.maps.loader import TrackMap
+
+        if state.map_idx is not None:
+            # map-STACKED params: select per-env scalars by map index
+            sel = lambda leaf: leaf[state.map_idx][..., None]
+        else:
+            # per-env map axis (rollout map_axis=0): TrackMap leaves already
+            # carry a leading env axis aligned with the state batch; just
+            # add the agent broadcast dim
+            sel = lambda leaf: leaf[..., None]
         t = TrackMap(dt=t.dt, occupancy=t.occupancy,
-                     orig_x=t.orig_x[mi][..., None],
-                     orig_y=t.orig_y[mi][..., None],
-                     orig_c=t.orig_c[mi][..., None],
-                     orig_s=t.orig_s[mi][..., None],
-                     resolution=t.resolution[mi][..., None],
-                     height=t.height[mi][..., None],
-                     width=t.width[mi][..., None])
+                     orig_x=sel(t.orig_x), orig_y=sel(t.orig_y),
+                     orig_c=sel(t.orig_c), orig_s=sel(t.orig_s),
+                     resolution=sel(t.resolution),
+                     height=sel(t.height), width=sel(t.width))
     xt = x[..., 0] - t.orig_x
     yt = x[..., 1] - t.orig_y
     xr = xt * t.orig_c + yt * t.orig_s
