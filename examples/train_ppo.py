@@ -58,6 +58,12 @@ def main():
                     help="no training: load --save and roll the mean policy, "
                          "reporting laps/speed/crashes")
     ap.add_argument("--eval-steps", type=int, default=6000)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for env keys and policy init")
+    ap.add_argument("--log-csv", type=str, default=None,
+                    help="write per-iteration metrics (iter, env_steps, "
+                         "loss, reward_mean, done_rate, speed_mean, "
+                         "wall_s) to this CSV")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
@@ -95,7 +101,7 @@ def main():
     mesh = sh.make_env_mesh()
     env_params = sh.shard_params(mesh, env_params)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), args.envs)
     # env_params must be jit ARGUMENTS, not closures: the map/range textures
     # would otherwise be embedded as HLO constants (remote-compile 413s)
     if map_idx is None:
@@ -124,7 +130,7 @@ def main():
 
     ppo = PPO(cfg, env_params, PPOConfig(rollout_len=args.rollout),
               opponent_plan=opponent_plan)
-    pstate = ppo.init(jax.random.PRNGKey(1))
+    pstate = ppo.init(jax.random.PRNGKey(args.seed + 1))
     if (args.resume or args.eval) and os.path.exists(os.path.abspath(args.save)):
         pstate = ckpt.restore(args.save, like=pstate)
         print(f"restored trainer state from {args.save}")
@@ -161,7 +167,14 @@ def main():
     pstate = sh.replicate(mesh, pstate)
     train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 
+    csv_f = None
+    if args.log_csv:
+        csv_f = open(args.log_csv, "w")
+        csv_f.write("iter,env_steps,loss,reward_mean,done_rate,"
+                    "speed_mean,wall_s\n")
+
     steps_per_iter = args.envs * args.rollout
+    t_start = time.time()
     for it in range(args.iters):
         t0 = time.time()
         pstate, states, obs, metrics = train(pstate, states, obs, env_params)
@@ -170,9 +183,19 @@ def main():
         print(f"iter {it}: loss={loss:.4f} "
               f"reward={float(metrics['reward_mean']):.4f} "
               f"done_rate={float(metrics['done_rate']):.3f} "
+              f"speed={float(metrics['speed_mean']):.2f} "
               f"({steps_per_iter / dt:,.0f} env-steps/s)", flush=True)
+        if csv_f:
+            csv_f.write(f"{it},{(it + 1) * steps_per_iter},{loss:.6f},"
+                        f"{float(metrics['reward_mean']):.6f},"
+                        f"{float(metrics['done_rate']):.6f},"
+                        f"{float(metrics['speed_mean']):.4f},"
+                        f"{time.time() - t_start:.2f}\n")
+            csv_f.flush()
         if args.ckpt_every and (it + 1) % args.ckpt_every == 0:
             ckpt.save(args.save, pstate)
+    if csv_f:
+        csv_f.close()
 
     ckpt.save(args.save, pstate)
     print(f"saved {args.save}")

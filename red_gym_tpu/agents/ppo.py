@@ -80,12 +80,29 @@ def gaussian_logp(mean, log_std, act):
                    - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=-1)
 
 
+def progress_collision_reward(speed_coef: float = 1.0,
+                              collision_penalty: float = 10.0):
+    """Default PPO shaping: forward progress minus a crash penalty — the
+    distilled form of the reference's reward surface (progress + collision
+    + centering terms, reference src/SAL.py:219-250; the richer bitmap
+    pipeline lives in agents/planning_env.py).  Returns
+    fn(cfg, obs, next_obs) -> (E,)."""
+
+    def fn(cfg: SimConfig, obs: Observation, next_obs: Observation):
+        ego = cfg.ego_idx
+        return (speed_coef * next_obs.linear_vels_x[:, ego] * cfg.timestep
+                - collision_penalty * next_obs.collisions[:, ego])
+
+    return fn
+
+
 def pure_pursuit_opponents(ppp):
     """Opponent-policy hook: every agent tracks the raceline with pure
-    pursuit.  Returns fn(obs) -> (E, A, 2) [steer, speed] controls."""
+    pursuit.  Returns fn(obs, map_idx) -> (E, A, 2) [steer, speed] controls
+    (map_idx ignored: one shared raceline)."""
     from red_gym_tpu.agents import pure_pursuit as pp
 
-    def plan_all(obs: Observation):
+    def plan_all(obs: Observation, map_idx=None):
         def one(x, y, th):
             speed, steer = pp.plan(x, y, th, ppp)
             return jnp.stack([steer, speed])
@@ -96,22 +113,52 @@ def pure_pursuit_opponents(ppp):
     return plan_all
 
 
+def pure_pursuit_opponents_multi(stacked_ppp):
+    """Multi-map opponent hook for map-STACKED envs: each env's opponents
+    track the raceline of ITS track (params from pure_pursuit.stack_params,
+    selected per env by state.map_idx)."""
+    from red_gym_tpu.agents import pure_pursuit as pp
+
+    def plan_all(obs: Observation, map_idx):
+        assert map_idx is not None, \
+            "pure_pursuit_opponents_multi needs map_idx envs " \
+            "(make_multimap_params); use pure_pursuit_opponents otherwise"
+
+        def one_env(xs, ys, ths, mi):
+            ppp = jax.tree.map(lambda l: l[mi], stacked_ppp)
+
+            def one(x, y, th):
+                speed, steer = pp.plan(x, y, th, ppp)
+                return jnp.stack([steer, speed])
+
+            return jax.vmap(one)(xs, ys, ths)
+
+        return jax.vmap(one_env)(obs.poses_x, obs.poses_y, obs.poses_theta,
+                                 map_idx)
+
+    return plan_all
+
+
 class PPO:
     """Ego-agent PPO over batched envs.  Opponents act through the
-    ``opponent_plan`` hook — fn(obs) -> (E, A, 2) controls for ALL agents,
-    of which the non-ego rows are used.  Options: None (hold slow straight),
-    pure_pursuit_opponents(...) (raceline-tracking traffic), or the string
-    "self" (self-play: the current policy's mean action drives opponents)."""
+    ``opponent_plan`` hook — fn(obs, map_idx) -> (E, A, 2) controls for ALL
+    agents, of which the non-ego rows are used.  Options: None (hold slow
+    straight), pure_pursuit_opponents(...) (raceline-tracking traffic),
+    pure_pursuit_opponents_multi(...) (per-track racelines on map-STACKED
+    envs), or the string "self" (self-play: the current policy's mean
+    action drives opponents)."""
 
     def __init__(self, cfg: SimConfig, env_params: EnvParams,
                  pcfg: PPOConfig = PPOConfig(), policy: ScanPolicy | None = None,
-                 opponent_plan=None, map_axis=None):
+                 opponent_plan=None, map_axis=None, reward_fn=None):
         self.cfg = cfg
         self.env_params = env_params
         self.pcfg = pcfg
         self.policy = policy or ScanPolicy()
         self.opponent_plan = opponent_plan
         self.map_axis = map_axis   # 0 -> per-env maps (stacked tmap/rtex)
+        # pluggable shaping: fn(cfg, obs, next_obs) -> (E,) rewards
+        self.reward_fn = reward_fn or progress_collision_reward()
         self.tx = optax.adam(pcfg.lr)
 
     def init(self, key) -> PPOState:
@@ -130,10 +177,12 @@ class PPO:
         logp = gaussian_logp(mean, log_std, act)
         return act, logp, value
 
-    def _env_actions(self, act, obs: Observation, pparams=None):
+    def _env_actions(self, act, obs: Observation, pparams=None, map_idx=None):
         """Ego action from the policy; opponents from the opponent_plan hook
-        (default: cruise slow and straight; "self" = self-play, the current
-        policy's mean action drives every opponent too)."""
+        fn(obs, map_idx) (default: cruise slow and straight; "self" =
+        self-play, the current policy's mean action drives every opponent
+        too).  ``map_idx`` (E,) is threaded for map-STACKED envs so hooks
+        like pure_pursuit_opponents_multi can pick per-track racelines."""
         e = act.shape[0]
         a = self.cfg.num_agents
         ctrl = jnp.zeros((e, a, 2), self.cfg.jdtype)
@@ -145,7 +194,7 @@ class PPO:
                                                obs.linear_vels_x)  # (E, A, 2)
                 others = action_to_control(mean, self.pcfg, self.cfg.jdtype)
             elif self.opponent_plan is not None:
-                others = self.opponent_plan(obs).astype(self.cfg.jdtype)
+                others = self.opponent_plan(obs, map_idx).astype(self.cfg.jdtype)
             else:
                 others = jnp.broadcast_to(
                     jnp.asarray([0.0, 1.5], self.cfg.jdtype), (e, a, 2))
@@ -179,12 +228,11 @@ class PPO:
             act, logp, value = self._policy_step(pstate.params, obs, ka)
             env_states2, obs2, reward, done, _ = step_v(
                 params, env_states,
-                self._env_actions(act, obs, pstate.params))
+                self._env_actions(act, obs, pstate.params,
+                                  map_idx=env_states.map_idx))
 
             ego = cfg.ego_idx
-            # shaped reward: forward progress - collision penalty
-            r = (obs2.linear_vels_x[:, ego] * cfg.timestep
-                 - 10.0 * obs2.collisions[:, ego])
+            r = self.reward_fn(cfg, obs, obs2)
 
             rkeys = jax.random.split(kr, done.shape[0])
             if env_states2.map_idx is None:
@@ -282,5 +330,5 @@ class PPO:
             epoch, (params, opt_state, key), None, length=self.pcfg.epochs)
 
         metrics = {"loss": losses.mean(), "reward_mean": rewards.mean(),
-                   "done_rate": dones.mean()}
+                   "done_rate": dones.mean(), "speed_mean": vels.mean()}
         return PPOState(params, opt_state, key), env_states, obs, metrics

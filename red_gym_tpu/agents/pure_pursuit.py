@@ -51,6 +51,19 @@ def make_params(waypoints, tlad=0.82461887897713965, vgain=1.375,
         max_reacquire=jnp.asarray(max_reacquire, dt))
 
 
+def stack_params(ppps) -> PurePursuitParams:
+    """Stack per-map PurePursuitParams along a leading map axis (waypoint
+    tables must share a length — the packaged generator emits a fixed 600).
+    Select one map's params with ``jax.tree.map(lambda l: l[mi], stacked)``
+    (see agents.ppo.pure_pursuit_opponents_multi)."""
+    n = {int(p.waypoints.shape[0]) for p in ppps}
+    if len(n) != 1:
+        raise ValueError(f"waypoint tables differ in length: {sorted(n)}; "
+                         "resample them to a common count first")
+    return PurePursuitParams(*[jnp.stack([getattr(p, f) for p in ppps])
+                               for f in PurePursuitParams._fields])
+
+
 def nearest_point(point, traj):
     """Nearest point on the piecewise-linear trajectory
     (reference waypoint_follow.py:15-47). point (2,), traj (N, 2)."""

@@ -35,13 +35,19 @@ class VecF110Env:
                  integrator: Integrator = Integrator.RK4,
                  seed: int = 12345, auto_reset: bool = True,
                  params: dict | VehicleParams | None = None,
-                 map_idx=None, **cfg_kwargs):
+                 map_idx=None, randomize_starts=None, **cfg_kwargs):
+        """``randomize_starts``: optional (M, A, 3) per-map start-pose table
+        for domain randomization over a multi-map env (``map`` a list):
+        every auto-reset draws a fresh track uniformly and spawns at that
+        track's start pose (the rollout.make_rollout(randomize_starts=...)
+        capability, surfaced on the wrapper)."""
         self.num_envs = num_envs
         self.auto_reset = auto_reset
+        unknown = set(cfg_kwargs) - set(SimConfig.__dataclass_fields__)
+        if unknown:
+            raise TypeError(f"unknown SimConfig option(s): {sorted(unknown)}")
         self.cfg = SimConfig(num_agents=num_agents, timestep=timestep,
-                             integrator=integrator,
-                             **{k: v for k, v in cfg_kwargs.items()
-                                if k in SimConfig.__dataclass_fields__})
+                             integrator=integrator, **cfg_kwargs)
         if isinstance(params, dict):
             vehicle = VehicleParams.from_dict(params, dtype=self.cfg.jdtype)
         elif isinstance(params, VehicleParams):
@@ -62,6 +68,16 @@ class VecF110Env:
             self.params = envlib.make_params(self.cfg, _yaml(map), map_ext,
                                              vehicle)
             self._map_idx = None
+        if randomize_starts is not None:
+            if self._map_idx is None:
+                raise ValueError("randomize_starts needs a multi-map env "
+                                 "(pass a list of maps)")
+            randomize_starts = jnp.asarray(randomize_starts, self.cfg.jdtype)
+            if randomize_starts.shape[0] != len(map):
+                raise ValueError(
+                    f"randomize_starts has {randomize_starts.shape[0]} rows "
+                    f"for {len(map)} maps")
+        self._randomize_starts = randomize_starts
         self._key = jax.random.PRNGKey(seed)
         self.states = None
 
@@ -80,13 +96,24 @@ class VecF110Env:
                                          in_axes=(None, 0, 0, mi_ax)))
         step_v = jax.vmap(step_one, in_axes=(None, 0, 0))
 
-        def step_auto(pr, states, actions, key, mi):
+        def step_auto(pr, states, actions, key, rs):
             states, obs, reward, done, info = step_v(pr, states, actions)
             if auto_reset:
-                keys = jax.random.split(key, done.shape[0])
-                r_states, r_obs, *_ = jax.vmap(
-                    reset_one, in_axes=(None, 0, 0, mi_ax))(
-                        pr, states.start_pose, keys, mi)
+                key, kr = jax.random.split(key)
+                keys = jax.random.split(kr, done.shape[0])
+                if rs is not None:
+                    # domain randomization: fresh track + its start pose
+                    new_m = jax.random.randint(
+                        key, (done.shape[0],), 0, rs.shape[0])
+                    r_states, r_obs, *_ = jax.vmap(
+                        reset_one, in_axes=(None, 0, 0, 0))(
+                            pr, rs[new_m], keys, new_m)
+                else:
+                    # restart in place: current per-env map + start pose
+                    mi = states.map_idx if has_mi else None
+                    r_states, r_obs, *_ = jax.vmap(
+                        reset_one, in_axes=(None, 0, 0, mi_ax))(
+                            pr, states.start_pose, keys, mi)
                 sel = lambda a_, b_: jnp.where(
                     done.reshape((-1,) + (1,) * (a_.ndim - 1)), a_, b_)
                 states = jax.tree.map(sel, r_states, states)
@@ -111,7 +138,7 @@ class VecF110Env:
         self._key, sub = jax.random.split(self._key)
         self.states, obs, reward, done, info = self._step_v(
             self.params, self.states, jnp.asarray(actions, self.cfg.jdtype),
-            sub, self._map_idx)
+            sub, self._randomize_starts)
         return self._obs_dict(obs), reward, done, self._info(info, done)
 
     @staticmethod
