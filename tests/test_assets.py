@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def _start_poses(yamls):
     return jnp.asarray(poses, jnp.float64)[:, None, :]
 
 
+@pytest.mark.slow
 def test_map_idx_matches_per_env_maps():
     """The copy-free shared-stack + map_idx path produces exactly the same
     scans/states as vmapping per-env map copies (map_axis=0)."""
@@ -86,6 +88,7 @@ def test_map_idx_fast_mode():
     assert not np.allclose(np.asarray(obs.scans), np.asarray(obs_x.scans))
 
 
+@pytest.mark.slow
 def test_multi_map_batched_rollout():
     """Each env runs on a different packaged track (padded to common shape),
     spawned at its own raceline start, stepped with constant slow actions:

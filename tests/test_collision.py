@@ -77,3 +77,33 @@ def test_separated_and_touching():
     # tiny interpenetration: collides
     o = col.get_vertices(jnp.array([0.57, 0.0, 0.0]), 0.58, 0.31)
     assert bool(col.collision(a, o))
+
+
+def test_pairwise_hits_from_poses_matches_collision_multiple():
+    """The rectangle-SAT hot path (pose form, rolled pairing) agrees with
+    the general quad SAT for 2..5 agents, dense and sparse spawns."""
+    rng = np.random.default_rng(7)
+    for a_n in (1, 2, 3, 4, 5):
+        for spread in (0.5, 1.5, 4.0):   # dense -> many hits, sparse -> few
+            poses = jnp.asarray(_rand_pose_verts(rng, 64 * a_n, spread)
+                                .reshape(64, a_n, 3))
+            verts = col.get_vertices(poses, 0.58, 0.31)
+            want, _ = jnp.vectorize(col.collision_multiple,
+                                    signature="(a,v,k)->(a),(a)")(verts)
+            got = jnp.vectorize(
+                lambda p: col.pairwise_hits_from_poses(p, 0.58, 0.31),
+                signature="(a,k)->(a)")(poses)
+            np.testing.assert_array_equal(
+                np.asarray(got).astype(float), np.asarray(want),
+                err_msg=f"agents={a_n} spread={spread}")
+
+
+def test_pairwise_hits_per_agent_extents():
+    """Per-agent (A,) length/width arrays: a long car hits where a short
+    one would not."""
+    poses = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    short = col.pairwise_hits_from_poses(poses, 0.58, 0.31)
+    long_ = col.pairwise_hits_from_poses(
+        poses, jnp.asarray([1.6, 0.58]), 0.31)
+    assert not bool(short.any())
+    assert bool(long_.all())

@@ -11,6 +11,10 @@ from red_gym_tpu.config import SimConfig
 from red_gym_tpu import env as envlib
 from red_gym_tpu.parallel import sharding as sh
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 CFG = SimConfig(num_agents=2, num_beams=108, timestep=0.01, dtype="float32")
 START = np.array([[0.7, 0.0, 1.37079632679], [0.7, -1.0, 1.37079632679]])
@@ -28,6 +32,7 @@ def _batch(params, e=8):
     return f(poses, keys)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, params):
     from red_gym_tpu.utils import checkpoint as ckpt
 
@@ -45,6 +50,7 @@ def test_checkpoint_roundtrip(tmp_path, params):
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded(params):
     """The same batched step on an 8-device mesh produces identical results
     to the single-device run (collectives are layout-only here)."""
@@ -86,6 +92,7 @@ def test_shard_params_keeps_range_texture():
     assert np.all(np.isfinite(np.asarray(obs.scans)))
 
 
+@pytest.mark.slow
 def test_viewer_animates_rollout(tmp_path, params):
     """Offline replay: a time-stacked EnvState renders to an animated GIF."""
     import matplotlib
@@ -174,6 +181,44 @@ def test_state_sanitizer_multimap():
     assert all(int(v) == 0 for v in jax.tree.leaves(rep))
 
 
+def test_state_sanitizer_per_env_map_axis():
+    """check_state handles the per-env map mode too (rollout map_axis=0:
+    TrackMap leaves carry a leading env axis, map_idx stays None)."""
+    import glob
+
+    from red_gym_tpu import rollout as ro
+    from red_gym_tpu.maps.loader import load_map, stack_maps
+    from red_gym_tpu.utils import debug
+
+    data = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu",
+                        "assets", "data")
+    yamls = sorted(glob.glob(os.path.join(data, "track_*.yaml")))[:2]
+    cfg = SimConfig(num_agents=1, num_beams=54, dtype="float64",
+                    march_iters=16)
+    raw = [load_map(y, ".png", dtype=jnp.float64) for y in yamls]
+    pad = (max(int(m.height) for m in raw), max(int(m.width) for m in raw))
+    maps = [load_map(y, ".png", dtype=jnp.float64, pad_to=pad) for y in yamls]
+    params = envlib.make_params(cfg, yamls[0], ".png",
+                                tmap=raw[0])._replace(tmap=stack_maps(maps))
+    poses = []
+    for y in yamls:
+        w = np.loadtxt(y.replace(".yaml", "_waypoints.csv"), delimiter=";",
+                       comments="#")
+        poses.append([[w[0, 1], w[0, 2], 0.0]])
+    poses = jnp.asarray(poses, jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    states, *_ = ro.batched_reset(cfg, params, poses, keys, map_axis=0)
+    assert states.map_idx is None
+    rep = debug.check_state(cfg, params, states)
+    assert all(int(v) == 0 for v in jax.tree.leaves(rep))
+
+    # a genuinely off-map pose on env 1 is still caught
+    x = np.asarray(states.x).copy()
+    x[1, 0, 0] = 1e6
+    rep = debug.check_state(cfg, params, states._replace(x=jnp.asarray(x)))
+    assert int(rep["off_map"]) == 1
+
+
 def test_replay_push_batch_wraparound():
     from red_gym_tpu.agents.sac import ReplayBuffer
 
@@ -211,6 +256,7 @@ def test_sac_scan_modules_update():
     assert moved
 
 
+@pytest.mark.slow
 def test_sac_update_smoke():
     """SAC init + a few updates on tiny bitmaps: losses finite, targets move."""
     from red_gym_tpu.agents.sac import SAC, ReplayBuffer

@@ -4,6 +4,7 @@ problem (src/SAL.py:615-764; cvxpy/OSQP is not installed, so the oracle is
 scipy's bounded quasi-Newton on the identical convex objective)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.interpolate import CubicSpline
 from scipy.optimize import minimize
@@ -11,6 +12,7 @@ from scipy.optimize import minimize
 from red_gym_tpu.agents import mpc
 
 
+@pytest.mark.slow
 def test_spline_matches_scipy():
     rng = np.random.default_rng(0)
     for _ in range(10):

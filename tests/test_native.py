@@ -6,6 +6,10 @@ from scipy.ndimage import distance_transform_edt
 
 from red_gym_tpu import native
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 
 @pytest.fixture(scope="module")
 def lib():

@@ -8,6 +8,10 @@ from red_gym_tpu.config import SimConfig
 from red_gym_tpu.agents import pure_pursuit as pp
 from red_gym_tpu.tuning import CMAES, make_laptime_evaluator
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 WPT_CSV = "/root/reference/examples/example_waypoints.csv"
 
@@ -40,6 +44,7 @@ def evaluator():
                                   start_pose=[0.7, 0.0, 1.37079632679])
 
 
+@pytest.mark.slow
 def test_search_end_to_end():
     """Two tiny CMA generations through the real evaluator improve (or at
     least don't corrupt) the incumbent; returns the best dict."""

@@ -18,6 +18,10 @@ from red_gym_tpu.config import Integrator, SimConfig, VehicleParams
 from red_gym_tpu import env as envlib
 from red_gym_tpu.ops import collision as col, dynamics as dyn, integrate
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 
 

@@ -1,6 +1,7 @@
 """Path-planning env (SACF110Env equivalent) and bitmap reward tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,10 @@ from red_gym_tpu.config import SimConfig
 from red_gym_tpu import env as envlib
 from red_gym_tpu.agents import planning_env as pe
 from red_gym_tpu.ops import bitmap_rewards as br
+
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
 
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 CFG = SimConfig(num_agents=1, num_beams=1080, timestep=0.015, dtype="float32")
@@ -39,6 +44,7 @@ def test_decode_action_matches_reference_math():
         assert np.all(d <= np.deg2rad(10) + 1e-5)
 
 
+@pytest.mark.slow
 def test_planning_env_runs_and_replans():
     params = envlib.make_params(CFG, MAP_YAML, ".png")
     env = pe.PlanningEnv(CFG, params)

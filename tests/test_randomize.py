@@ -4,6 +4,7 @@ import glob
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -15,6 +16,7 @@ CFG = SimConfig(num_agents=1, num_beams=54, dtype="float64", scan_mode="fast",
                 rt_theta_bins=16, rt_pose_stride=16, scan_noise_std=0.0)
 
 
+@pytest.mark.slow
 def test_randomized_resets_draw_new_maps():
     yamls = sorted(glob.glob(os.path.join(DATA, "track_*.yaml")))[:3]
     params = envlib.make_multimap_params(CFG, yamls)

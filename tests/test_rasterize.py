@@ -6,6 +6,10 @@ import pytest
 
 from red_gym_tpu.ops.rasterize import lidar_to_bitmap
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 
 def _ref_bitmap(scan, **kw):
     """Reference rasterizer (cv2) loaded from the read-only checkout."""

@@ -1,11 +1,16 @@
 """Batched rollout driver tests: vmap consistency and auto-reset."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from red_gym_tpu.config import Integrator, SimConfig, VehicleParams
 from red_gym_tpu import env as envlib, rollout as ro
+
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
 
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 START = np.array([[0.7, 0.0, 1.37079632679]])
@@ -39,6 +44,7 @@ def test_batched_matches_single():
         np.testing.assert_array_equal(np.asarray(obs.scans[i]), np.asarray(o1.scans))
 
 
+@pytest.mark.slow
 def test_auto_reset_restarts_crashed_envs():
     """Envs that crash into the wall restart from their start pose and keep
     stepping (the batched-RL auto-reset loop)."""

@@ -15,6 +15,10 @@ from red_gym_tpu.config import SimConfig
 from red_gym_tpu.maps.loader import load_map
 from red_gym_tpu.ops import scan as scan_ops
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 EXAMPLE_MAP = "/root/reference/examples/example_map.yaml"
 BERLIN_MAP = "/root/reference/gym/f110_gym/envs/maps/berlin.yaml"
 

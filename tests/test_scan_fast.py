@@ -11,6 +11,10 @@ from red_gym_tpu.ops import scan as scan_ops, scan_fast
 from red_gym_tpu import env as envlib
 from red_gym_tpu.agents import pure_pursuit as pp
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 MAP_YAML = "/root/reference/examples/example_map.yaml"
 # coarse texture settings keep the CPU-test precompute cheap
 CFG = SimConfig(num_agents=1, num_beams=270, dtype="float64",
@@ -50,6 +54,7 @@ def test_fast_vs_exact_error(setup):
     assert np.all(fast >= 0) and np.all(fast <= CFG.max_range)
 
 
+@pytest.mark.slow
 def test_fast_mode_env_laps_track(setup):
     """The pure-pursuit car still completes laps with fast-mode lidar (the
     trajectory itself is scan-independent; this exercises the full env)."""
@@ -153,6 +158,7 @@ def test_pallas_epilogue_matches_xla(setup):
                                rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_mxu_variant_fov47(setup):
     """The constant-matmul path handles a non-2pi FOV (upstream default
     4.7 rad): beam offsets c_b span only part of the circle, kb stays

@@ -4,14 +4,20 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from red_gym_tpu.vec_env import VecF110Env
+
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
 
 MAP = "/root/reference/examples/example_map"
 DATA = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu", "assets", "data")
 START = np.array([[0.7, 0.0, 1.37079632679], [0.7, -1.0, 1.37079632679]])
 
 
+@pytest.mark.slow
 def test_vec_env_step_batch():
     env = VecF110Env(MAP, num_envs=6, num_agents=2, num_beams=108,
                      dtype="float64")
@@ -27,6 +33,7 @@ def test_vec_env_step_batch():
                                   np.asarray(obs["poses_x"][5]))
 
 
+@pytest.mark.slow
 def test_vec_env_auto_reset():
     """An env driven into the wall restarts from its start pose."""
     env = VecF110Env(MAP, num_envs=4, num_agents=1, num_beams=108,
@@ -48,6 +55,41 @@ def test_vec_env_auto_reset():
         obs, reward, done, info = env.step(slow)
     assert not np.any(np.asarray(done))
     assert np.all(np.abs(np.asarray(obs["poses_x"])) < 5.0)
+
+
+@pytest.mark.slow
+def test_vec_env_randomized_resets_draw_fresh_maps():
+    """With randomize_starts, auto-reset re-draws each crashed env's track
+    uniformly (state.map_idx changes over episodes) and spawns it at that
+    track's start pose."""
+    maps = [y[:-5] for y in sorted(glob.glob(os.path.join(DATA, "track_*.yaml")))[:3]]
+    starts = []
+    for m in maps:
+        w = np.loadtxt(m + "_waypoints.csv", delimiter=";", comments="#")
+        th = np.arctan2(w[1, 2] - w[0, 2], w[1, 1] - w[0, 1])
+        starts.append([[w[0, 1], w[0, 2], th]])
+    starts = np.asarray(starts)                       # (3, 1, 3)
+    env = VecF110Env(maps, num_envs=6, num_agents=1, num_beams=54,
+                     dtype="float64", march_iters=24, scan_noise_std=0.0,
+                     map_idx=np.zeros(6, np.int64),
+                     randomize_starts=starts)
+    env.reset(starts[np.zeros(6, np.int64)])
+    acts = np.tile([[0.0, 8.0]], (6, 1, 1))           # drive into walls
+    seen = set()
+    for _ in range(400):
+        obs, reward, done, info = env.step(acts)
+        seen.update(np.asarray(env.states.map_idx).tolist())
+        if len(seen) == 3:
+            break
+    assert len(seen) == 3, f"resets never drew all 3 maps: {seen}"
+    # every env pose is at one of the start regions or on-track (finite)
+    assert np.all(np.isfinite(np.asarray(obs["poses_x"])))
+
+
+def test_vec_env_rejects_unknown_kwargs():
+    """Typo'd config options raise instead of being silently dropped."""
+    with pytest.raises(TypeError, match="scan_modee"):
+        VecF110Env(MAP, num_envs=2, num_agents=1, scan_modee="fast")
 
 
 def test_vec_env_multi_map():

@@ -8,6 +8,10 @@ from red_gym_tpu import env as envlib
 from red_gym_tpu.config import Integrator
 from red_gym_tpu.agents.pure_pursuit import FlippyPlanner
 
+from tests._assets import requires_reference
+
+pytestmark = requires_reference
+
 MAP_YAML = "/root/reference/examples/example_map"
 START = np.array([[0.7, 0.0, 1.37079632679]])
 
