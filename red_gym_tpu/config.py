@@ -152,6 +152,15 @@ class SimConfig:
     # constant matrix — no 3-tap elementwise tail (fastest), trigonometric
     # interpolation semantics with a Lanczos anti-ringing window.
     scan_interp: str = "linear"
+    # fast-scan spatial lookup.  "bilinear" (default): blend the 4
+    # surrounding texture cells — best median error (~0.2 cell) but mixes
+    # foreground/background ranges across occlusion edges.  "nearest":
+    # single best cell (a real marched scan from the quantized pose) —
+    # ~2x the median error, modestly smaller worst-case tail (measured
+    # frac>4cell 2.5% -> 1.9% at defaults; the remaining tail comes from
+    # THETA interpolation at visibility discontinuities, not the spatial
+    # blend).  Same runtime cost (the blend becomes a one-hot).
+    rt_spatial: str = "bilinear"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -170,6 +179,9 @@ class SimConfig:
         if self.scan_interp not in ("linear", "spectral"):
             raise ValueError(f"scan_interp must be 'linear'|'spectral', got "
                              f"{self.scan_interp!r}")
+        if self.rt_spatial not in ("bilinear", "nearest"):
+            raise ValueError(f"rt_spatial must be 'bilinear'|'nearest', got "
+                             f"{self.rt_spatial!r}")
         if self.num_agents < 1 or self.num_beams < 2:
             raise ValueError("need num_agents >= 1 and num_beams >= 2")
         if self.ego_idx < 0 or self.ego_idx >= self.num_agents:

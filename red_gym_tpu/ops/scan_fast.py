@@ -18,6 +18,7 @@ foreground/background ranges.  Use scan_mode="exact" for reference parity;
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -50,12 +51,40 @@ class RangeTexture(NamedTuple):
                            # static beam offsets (scan_interp="spectral")
 
 
+def _texture_cache_path(tmap: TrackMap, cfg: SimConfig):
+    """Content-addressed cache file for the marched (rt, valid) arrays.
+
+    Keyed on the dt texture bytes + every config field the march reads, so
+    edited maps or changed settings never hit a stale entry.  Cache dir:
+    $RED_GYM_TPU_TEXTURE_CACHE, default ~/.cache/red_gym_tpu; set it to
+    "0"/"off" to disable.
+    """
+    import hashlib
+    import os
+
+    root = os.environ.get("RED_GYM_TPU_TEXTURE_CACHE",
+                          os.path.join(os.path.expanduser("~"),
+                                       ".cache", "red_gym_tpu"))
+    if root.lower() in ("0", "off", "none", ""):
+        return None
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(tmap.dt)).tobytes())
+    for v in (cfg.rt_pose_stride, cfg.rt_theta_bins, cfg.max_range, cfg.eps,
+              float(np.asarray(tmap.resolution)),
+              float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y)),
+              str(np.dtype(tmap.dt.dtype))):
+        h.update(repr(v).encode())
+    return os.path.join(root, f"rtex_{h.hexdigest()[:24]}.npz")
+
+
 def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                         batch_rows: int = 8) -> RangeTexture:
     """March every theta bin from every texture cell center (on device).
 
     Runs in row batches to bound memory; one-time cost per map (~seconds to
-    tens of seconds depending on rt_pose_stride).
+    tens of seconds depending on rt_pose_stride), memoized to disk by
+    content hash (see _texture_cache_path) so repeated runs — multi-seed
+    training sweeps, multi-process launches — pay it once per machine.
     """
     stride = cfg.rt_pose_stride
     t_bins = cfg.rt_theta_bins
@@ -104,14 +133,25 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                     & (cx < tmap.width.astype(dtype))
         return ranges * free[..., None].astype(dtype), free
 
-    rt_rows = []
-    valid_rows = []
-    for r0 in range(0, hc, batch_rows):
-        rng, fr = do_rows(jnp.int32(r0))
-        rt_rows.append(rng)
-        valid_rows.append(fr)
-    rt = jnp.concatenate(rt_rows, axis=0)[:hc].reshape(hc * wc, t_bins)
-    valid = jnp.concatenate(valid_rows, axis=0)[:hc].reshape(hc * wc)
+    cache = _texture_cache_path(tmap, cfg)
+    if cache is not None and os.path.exists(cache):
+        with np.load(cache) as z:
+            rt = jnp.asarray(z["rt"], dtype)
+            valid = jnp.asarray(z["valid"])
+    else:
+        rt_rows = []
+        valid_rows = []
+        for r0 in range(0, hc, batch_rows):
+            rng, fr = do_rows(jnp.int32(r0))
+            rt_rows.append(rng)
+            valid_rows.append(fr)
+        rt = jnp.concatenate(rt_rows, axis=0)[:hc].reshape(hc * wc, t_bins)
+        valid = jnp.concatenate(valid_rows, axis=0)[:hc].reshape(hc * wc)
+        if cache is not None:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + f".{os.getpid()}.tmp.npz"  # .npz: savez keeps name
+            np.savez(tmp, rt=np.asarray(rt), valid=np.asarray(valid))
+            os.replace(tmp, cache)  # atomic: concurrent builders race safely
 
     # Constant beam-shuffle matrix: beam b's theta offset c_b = angle_b*T/2pi
     # split into integer kb and fraction gb; emat column t*B+b one-hots bin
@@ -290,6 +330,12 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     # positive range, so no separate valid-flag gather is needed
     cell_ok = jnp.max(rows_v, axis=-1) > 0.0                    # (..., 4)
     wgt = wgt * cell_ok.astype(dtype)
+    if cfg.rt_spatial == "nearest":
+        # single best valid cell: the theta row is a REAL marched scan from
+        # one quantized pose, so occlusion edges never mix foreground and
+        # background ranges spatially (see SimConfig.rt_spatial)
+        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), 4, dtype=dtype) \
+            * (jnp.max(wgt, axis=-1, keepdims=True) > 0).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
     wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
     # explicit multiply-reduce (not dot_general) fuses with the gather
@@ -369,6 +415,9 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     dtype = rtex.rt.dtype
     rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
     wgt = wgt * jnp.take(rtex.valid.reshape((-1,)), rows).astype(dtype)
+    if cfg.rt_spatial == "nearest":
+        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), 4, dtype=dtype) \
+            * (jnp.max(wgt, axis=-1, keepdims=True) > 0).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
 
     i0 = jnp.floor(u).astype(jnp.int32) % t_bins

@@ -1,5 +1,7 @@
 """Fast-mode (range texture) lidar accuracy and behavioral tests."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -132,6 +134,7 @@ def test_spectral_interp_accuracy(setup):
     assert np.all(spec >= 0) and np.all(spec <= CFG.max_range)
 
 
+@pytest.mark.slow
 def test_pallas_epilogue_matches_xla(setup):
     """The fused Pallas shuffle-matmul + blend kernel (interpret mode off
     TPU) equals the unfused XLA path, including under vmap (the custom_vmap
@@ -185,3 +188,113 @@ def test_texture_shapes(setup):
     # occupied rows are zeroed
     occ_rows = np.asarray(rtex.rt)[~np.asarray(rtex.valid)]
     assert occ_rows.size == 0 or np.all(occ_rows == 0)
+
+
+@pytest.mark.slow
+def test_error_contract_shipped_defaults_f32():
+    """Error contract at the SHIPPED configuration: rt_pose_stride=2 (cell =
+    0.125 m at the 0.0625 m/px maps), 128 theta bins, float32 textures (the
+    TPU dtype), 1080 beams — gates for both theta interpolation modes,
+    including occlusion-edge tail statistics (docs/performance.md pins the
+    measured values; these bounds carry ~1.5-2x headroom)."""
+    import dataclasses
+
+    data = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu",
+                        "assets", "data")
+    y = os.path.join(data, "track_wide.yaml")
+    cfg32 = SimConfig(num_agents=1, num_beams=1080, dtype="float32",
+                      scan_mode="fast")
+    assert cfg32.rt_pose_stride == 2 and cfg32.rt_theta_bins == 128, \
+        "shipped defaults changed; re-pin this contract"
+    cfg64 = dataclasses.replace(cfg32, dtype="float64")
+    tmap32 = load_map(y, ".png", dtype=jnp.float32)
+    tmap64 = load_map(y, ".png", dtype=jnp.float64)
+    tab32 = scan_ops.build_tables(cfg32, 0.31, 0.58, dtype=jnp.float32)
+    tab64 = scan_ops.build_tables(cfg64, 0.31, 0.58, dtype=jnp.float64)
+    rtex32 = scan_fast.build_range_texture(tmap32, cfg32)
+
+    rng = np.random.default_rng(0)
+    dt_np = np.asarray(tmap64.dt)
+    res = float(tmap64.resolution)
+    poses = []
+    while len(poses) < 64:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 0.3:     # free space including near-wall poses
+            poses.append([c * res + float(tmap64.orig_x) + res / 2,
+                          r * res + float(tmap64.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    poses = np.asarray(poses)
+    exact = np.asarray(scan_ops.trace(jnp.asarray(poses), tab64, tmap64,
+                                      cfg64))
+    cell = float(rtex32.cell)
+    # measured at pin time (linear/spectral): median .025/.027, p90 .069/.095,
+    # frac>cell .040/.077, frac>4cell .025/.041
+    gates = {"linear": (0.05, 0.15, 0.08, 0.05),
+             "spectral": (0.06, 0.20, 0.12, 0.07)}
+    for interp, (g_med, g_p90, g_cell, g_4cell) in gates.items():
+        ci = dataclasses.replace(cfg32, scan_interp=interp)
+        fast = np.asarray(scan_fast.trace_fast_mxu(
+            jnp.asarray(poses, np.float32), tab32, tmap32, rtex32, ci))
+        err = np.abs(exact - fast)
+        assert np.median(err) < g_med, (interp, np.median(err))
+        assert np.quantile(err, 0.9) < g_p90, (interp, np.quantile(err, 0.9))
+        # occlusion-edge tail: bounded fraction of beams off by >1 / >4 cells
+        assert np.mean(err > cell) < g_cell, (interp, np.mean(err > cell))
+        assert np.mean(err > 4 * cell) < g_4cell, (interp,
+                                                   np.mean(err > 4 * cell))
+        assert np.all(fast >= 0) and np.all(fast <= cfg32.max_range)
+
+
+def test_texture_disk_cache_roundtrip(tmp_path, setup, monkeypatch):
+    """The marched texture memoizes to disk by content hash: a rebuild with
+    the same map+config loads bit-identical arrays; changing the config
+    misses; disabling via env var builds fresh."""
+    tmap, tables, rtex = setup
+    monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", str(tmp_path))
+    r1 = scan_fast.build_range_texture(tmap, CFG)
+    files = list(tmp_path.glob("rtex_*.npz"))
+    assert len(files) == 1
+    r2 = scan_fast.build_range_texture(tmap, CFG)   # cache hit
+    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(r2.rt))
+    np.testing.assert_array_equal(np.asarray(r1.valid), np.asarray(r2.valid))
+    # matches the uncached fixture build too
+    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(rtex.rt))
+
+    import dataclasses
+    cfg2 = dataclasses.replace(CFG, rt_theta_bins=16)
+    scan_fast.build_range_texture(tmap, cfg2)
+    assert len(list(tmp_path.glob("rtex_*.npz"))) == 2, "config change must miss"
+
+    monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", "off")
+    r3 = scan_fast.build_range_texture(tmap, CFG)
+    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(r3.rt))
+    assert len(list(tmp_path.glob("rtex_*.npz"))) == 2
+
+
+def test_nearest_spatial_mode(setup):
+    """rt_spatial='nearest' (single best cell, one-hot blend): the MXU and
+    gather variants agree, and ranges stay within the coarse-texture error
+    class of the exact march."""
+    import dataclasses
+
+    tmap, tables, rtex = setup
+    cfg_n = dataclasses.replace(CFG, rt_spatial="nearest")
+    rng = np.random.default_rng(5)
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < 12:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 1.0:
+            poses.append([c * res + float(tmap.orig_x) + res / 2,
+                          r * res + float(tmap.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    poses = jnp.asarray(poses)
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, cfg_n))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_n))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
+    exact = np.asarray(scan_ops.trace(poses, tables, tmap, CFG))
+    err = np.abs(exact - b)
+    cell = float(rtex.cell)
+    assert np.median(err) < 1.0 * cell
+    assert np.all(b >= 0) and np.all(b <= CFG.max_range)
