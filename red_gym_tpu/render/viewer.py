@@ -45,6 +45,73 @@ class Viewer:
                        extent=[ox, ox + w * res, oy, oy + h * res])
         self.ax.set_aspect("equal")
         self._veh = env_params.vehicle
+        self._map_extent = (ox, ox + w * res, oy, oy + h * res)
+        self._drag_from = None
+        self._cids = []
+        self.enable_interaction()
+
+    # -- interactivity (reference rendering.py:163-227) -----------------------
+    def enable_interaction(self):
+        """Live camera controls mirroring the reference pyglet window:
+        left-drag pans, scroll wheel zooms about the cursor (bounded so the
+        view stays between ~0.5 m and the full map), and the 'f' key
+        re-engages the follow camera (any manual pan/zoom disengages it).
+        Safe on headless backends — events simply never fire."""
+        if self._cids:
+            return
+        c = self.fig.canvas
+        self._cids = [
+            c.mpl_connect("button_press_event", self._on_press),
+            c.mpl_connect("button_release_event", self._on_release),
+            c.mpl_connect("motion_notify_event", self._on_motion),
+            c.mpl_connect("scroll_event", self._on_scroll),
+            c.mpl_connect("key_press_event", self._on_key),
+        ]
+
+    def disable_interaction(self):
+        for cid in self._cids:
+            self.fig.canvas.mpl_disconnect(cid)
+        self._cids = []
+
+    def _on_press(self, ev):
+        if ev.inaxes is self.ax and ev.button == 1:
+            self._drag_from = (ev.xdata, ev.ydata)
+
+    def _on_release(self, ev):
+        self._drag_from = None
+
+    def _on_motion(self, ev):
+        if (self._drag_from is None or ev.inaxes is not self.ax
+                or ev.xdata is None):
+            return
+        x0, y0 = self._drag_from
+        dx, dy = ev.xdata - x0, ev.ydata - y0
+        xl, yl = self.ax.get_xlim(), self.ax.get_ylim()
+        self.ax.set_xlim(xl[0] - dx, xl[1] - dx)
+        self.ax.set_ylim(yl[0] - dy, yl[1] - dy)
+        self.follow = False   # manual camera takes over (reference behavior)
+        self.fig.canvas.draw_idle()
+
+    def _on_scroll(self, ev):
+        if ev.inaxes is not self.ax or ev.xdata is None:
+            return
+        factor = 0.9 if ev.button == "up" else 1.0 / 0.9
+        xl, yl = self.ax.get_xlim(), self.ax.get_ylim()
+        span = (xl[1] - xl[0]) * factor
+        # bounds like the reference's zoom clamp (rendering.py:183-190)
+        full = self._map_extent[1] - self._map_extent[0]
+        if not (0.5 <= span <= 2.0 * full):
+            return
+        cx, cy = ev.xdata, ev.ydata
+        self.ax.set_xlim(cx + (xl[0] - cx) * factor, cx + (xl[1] - cx) * factor)
+        self.ax.set_ylim(cy + (yl[0] - cy) * factor, cy + (yl[1] - cy) * factor)
+        self.follow = False
+        self.fig.canvas.draw_idle()
+
+    def _on_key(self, ev):
+        if ev.key == "f":
+            self.follow = not self.follow
+            self.fig.canvas.draw_idle()
 
     # -- data feed -----------------------------------------------------------
     def update(self, env_state):

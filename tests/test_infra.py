@@ -283,3 +283,49 @@ def test_sac_update_smoke():
 
     act = sac.select_action(state2, batch[0][:2], jax.random.PRNGKey(4))
     assert act.shape == (2, 16) and np.all(np.abs(np.asarray(act)) <= 1.0)
+
+
+def test_viewer_interaction_pan_zoom_follow(params):
+    """Synthesized mouse events drive the live camera: scroll zooms about
+    the cursor, drag pans, 'f' re-engages follow (reference
+    rendering.py:163-227 parity surface)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.backend_bases import KeyEvent, MouseEvent
+    from red_gym_tpu.render.viewer import Viewer
+
+    state, obs, *_ = envlib.reset(CFG, params, jnp.asarray(START, jnp.float32),
+                                  jax.random.PRNGKey(0))
+    v = Viewer(params, CFG, follow=True)
+    v.update(state)
+    v.draw()
+    xl0 = v.ax.get_xlim()
+
+    # scroll-zoom at the axes center
+    x_pix, y_pix = v.ax.transAxes.transform((0.5, 0.5))
+    ev = MouseEvent("scroll_event", v.fig.canvas, x_pix, y_pix, step=1)
+    ev.button = "up"
+    v.fig.canvas.callbacks.process("scroll_event", ev)
+    xl1 = v.ax.get_xlim()
+    assert (xl1[1] - xl1[0]) < (xl0[1] - xl0[0]), "scroll did not zoom in"
+    assert v.follow is False, "manual zoom must disengage the follow camera"
+
+    # drag-pan: press at center, move right by 30 px
+    press = MouseEvent("button_press_event", v.fig.canvas, x_pix, y_pix,
+                       button=1)
+    v.fig.canvas.callbacks.process("button_press_event", press)
+    move = MouseEvent("motion_notify_event", v.fig.canvas, x_pix + 30, y_pix,
+                      button=1)
+    v.fig.canvas.callbacks.process("motion_notify_event", move)
+    xl2 = v.ax.get_xlim()
+    assert xl2[0] != xl1[0], "drag did not pan"
+
+    # 'f' re-engages follow, and the next draw recenters on the ego car
+    key = KeyEvent("key_press_event", v.fig.canvas, "f")
+    v.fig.canvas.callbacks.process("key_press_event", key)
+    assert v.follow is True
+    v.draw()
+    xl3 = v.ax.get_xlim()
+    ego_x = float(np.asarray(state.x)[CFG.ego_idx, 0])
+    assert abs((xl3[0] + xl3[1]) / 2 - ego_x) < 1e-6
+    v.close()
