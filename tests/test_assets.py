@@ -67,6 +67,7 @@ def test_map_idx_matches_per_env_maps():
     np.testing.assert_array_equal(np.asarray(o1.scans), np.asarray(o2.scans))
 
 
+@pytest.mark.slow
 def test_map_idx_fast_mode():
     """Fast scan mode with stacked range textures + map_idx: envs on
     different tracks scan their own map."""

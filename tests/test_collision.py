@@ -6,6 +6,7 @@ a pairwise body matrix with expected partners, plus randomized fuzz parity.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from red_gym_tpu.ops import collision as col
@@ -79,6 +80,7 @@ def test_separated_and_touching():
     assert bool(col.collision(a, o))
 
 
+@pytest.mark.slow
 def test_pairwise_hits_from_poses_matches_collision_multiple():
     """The rectangle-SAT hot path (pose form, rolled pairing) agrees with
     the general quad SAT for 2..5 agents, dense and sparse spawns."""

@@ -60,6 +60,7 @@ def test_search_end_to_end():
     assert np.isfinite(best_f)
 
 
+@pytest.mark.slow
 def test_evaluator_population_batch(evaluator):
     """One dispatch evaluates the whole population; per-candidate params
     actually differ (different fitness for sane vs broken controllers)."""

@@ -24,6 +24,7 @@ def _setup(num_agents=1, dtype="float64", num_beams=108):
     return cfg, params
 
 
+@pytest.mark.slow
 def test_batched_matches_single():
     """vmapped envs with identical inputs equal the single-env step."""
     cfg, params = _setup()
