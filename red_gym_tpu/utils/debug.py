@@ -76,6 +76,63 @@ def explain(report: Dict[str, jnp.ndarray]) -> list[str]:
             if int(np.asarray(v)) > 0]
 
 
+def env_health_mask(state: EnvState) -> jnp.ndarray:
+    """Per-env boolean health over a batched EnvState (E, ...): an env is
+    unhealthy iff any of its state leaves carries a non-finite value.
+    Pure/jittable — the building block for quarantine_reset."""
+    def bad(leaf):
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return None
+        axes = tuple(range(1, leaf.ndim))
+        return jnp.any(~jnp.isfinite(leaf), axis=axes) if leaf.ndim else None
+
+    flags = [b for b in map(bad, jax.tree.leaves(state)) if b is not None
+             and b.ndim == 1]
+    bad_any = flags[0]
+    for f in flags[1:]:
+        bad_any = bad_any | f
+    return ~bad_any
+
+
+def quarantine_reset(cfg: SimConfig, params: EnvParams, state: EnvState,
+                     obs, key, map_axis=None):
+    """Failure recovery for long batched runs: every env whose state has
+    gone non-finite (hardware fault, extreme-parameter blow-up, injected
+    corruption) is restarted from its start pose in place; healthy envs are
+    untouched.  Pure and jittable — drop it into a rollout loop at whatever
+    cadence the failure model warrants.
+
+    The reference's only failure concept is collision->done
+    (f110_env.py:242); this is the batched-RL generalization the SURVEY §5
+    gap analysis calls for.  Returns (state', obs', healthy_mask).
+    """
+    from red_gym_tpu.env import reset
+    from red_gym_tpu.rollout import _params_axes
+
+    healthy = env_health_mask(state)
+    n_env = healthy.shape[0]
+    keys = jax.random.split(key, n_env)
+    p_axes = _params_axes(map_axis, params.rtex is not None)
+    # a NaN-poisoned start_pose would re-poison the reset: fall back to the
+    # origin-pose zero state for those (still flagged via the mask)
+    safe_pose = jnp.where(jnp.isfinite(state.start_pose),
+                          state.start_pose, 0.0)
+    if state.map_idx is None:
+        r_state, r_obs, *_ = jax.vmap(
+            lambda p, po, k: reset(cfg, p, po, k),
+            in_axes=(p_axes, 0, 0))(params, safe_pose, keys)
+    else:
+        r_state, r_obs, *_ = jax.vmap(
+            lambda p, po, k, m: reset(cfg, p, po, k, map_idx=m),
+            in_axes=(p_axes, 0, 0, 0))(params, safe_pose, keys,
+                                       state.map_idx)
+    sel = lambda a, b: jnp.where(
+        healthy.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+    state = jax.tree.map(sel, state, r_state)
+    obs = jax.tree.map(sel, obs, r_obs)
+    return state, obs, healthy
+
+
 def assert_healthy(cfg: SimConfig, params: EnvParams, state: EnvState):
     """Host-side hard assert (forces a sync; use at episode boundaries,
     not in the hot loop)."""
