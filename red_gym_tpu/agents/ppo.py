@@ -26,6 +26,14 @@ from red_gym_tpu.config import SimConfig
 from red_gym_tpu.env import EnvParams, Observation, reset, step
 
 
+def featurize_scan(scan, stride: int, dtype=jnp.float32):
+    """The ScanPolicy observation transform: strided + log1p-compressed
+    ranges.  Exposed standalone so rollout collection can store the
+    compact features instead of raw 1080-beam scans (8x less trajectory
+    HBM at scale) — the policy consumes either via ``featurized=True``."""
+    return jnp.log1p(scan[..., ::stride].astype(dtype))
+
+
 class ScanPolicy(nn.Module):
     """Gaussian actor + value head over strided log-range features."""
 
@@ -35,9 +43,10 @@ class ScanPolicy(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, scan, vel):
-        # scan (..., B): strided + log1p compress; vel (...,) appended
-        x = jnp.log1p(scan[..., :: self.scan_stride].astype(self.compute_dtype))
+    def __call__(self, scan, vel, featurized: bool = False):
+        # scan (..., B) raw, or (..., ceil(B/stride)) pre-featurized
+        x = scan.astype(self.compute_dtype) if featurized else \
+            featurize_scan(scan, self.scan_stride, self.compute_dtype)
         x = jnp.concatenate([x, vel[..., None].astype(self.compute_dtype)], axis=-1)
         x = nn.tanh(nn.Dense(self.hidden, dtype=self.compute_dtype)(x))
         x = nn.tanh(nn.Dense(self.hidden, dtype=self.compute_dtype)(x))
@@ -159,7 +168,22 @@ class PPO:
         self.map_axis = map_axis   # 0 -> per-env maps (stacked tmap/rtex)
         # pluggable shaping: fn(cfg, obs, next_obs) -> (E,) rewards
         self.reward_fn = reward_fn or progress_collision_reward()
+        # trajectory compression: when the policy exposes its feature
+        # transform (ScanPolicy), rollouts store the compact features
+        # instead of raw B-beam scans — 8x less trajectory HBM at 16k envs
+        self._feat_stride = getattr(self.policy, "scan_stride", None)
         self.tx = optax.adam(pcfg.lr)
+
+    def _featurize(self, scans):
+        if self._feat_stride is None:
+            return scans
+        return featurize_scan(scans, self._feat_stride,
+                              getattr(self.policy, "compute_dtype", jnp.float32))
+
+    def _apply(self, params, scan_or_feat, vel):
+        if self._feat_stride is None:
+            return self.policy.apply(params, scan_or_feat, vel)
+        return self.policy.apply(params, scan_or_feat, vel, featurized=True)
 
     def init(self, key) -> PPOState:
         k1, k2 = jax.random.split(key)
@@ -171,11 +195,12 @@ class PPO:
     # -- rollout collection ---------------------------------------------------
     def _policy_step(self, params, obs: Observation, key):
         ego = self.cfg.ego_idx
-        mean, log_std, value = self.policy.apply(
-            params, obs.scans[:, ego], obs.linear_vels_x[:, ego])
+        feat = self._featurize(obs.scans[:, ego])
+        mean, log_std, value = self._apply(params, feat,
+                                           obs.linear_vels_x[:, ego])
         act = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
         logp = gaussian_logp(mean, log_std, act)
-        return act, logp, value
+        return act, logp, value, feat
 
     def _env_actions(self, act, obs: Observation, pparams=None, map_idx=None):
         """Ego action from the policy; opponents from the opponent_plan hook
@@ -225,7 +250,7 @@ class PPO:
         def body(carry, _):
             env_states, obs, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            act, logp, value = self._policy_step(pstate.params, obs, ka)
+            act, logp, value, feat = self._policy_step(pstate.params, obs, ka)
             env_states2, obs2, reward, done, _ = step_v(
                 params, env_states,
                 self._env_actions(act, obs, pstate.params,
@@ -246,7 +271,7 @@ class PPO:
             env_states2 = jax.tree.map(sel, r_states, env_states2)
             obs2 = jax.tree.map(sel, r_obs, obs2)
 
-            traj = (obs.scans[:, ego], obs.linear_vels_x[:, ego], act, logp,
+            traj = (feat, obs.linear_vels_x[:, ego], act, logp,
                     value, r.astype(jnp.float32), done.astype(jnp.float32))
             return (env_states2, obs2, key), traj
 
@@ -272,9 +297,9 @@ class PPO:
         return adv, adv + values
 
     def _loss(self, params, batch):
-        scans, vels, acts, logp_old, adv, returns = batch
+        feats, vels, acts, logp_old, adv, returns = batch
         p = self.pcfg
-        mean, log_std, value = self.policy.apply(params, scans, vels)
+        mean, log_std, value = self._apply(params, feats, vels)
         logp = gaussian_logp(mean, log_std, acts)
         ratio = jnp.exp(logp - logp_old)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -291,16 +316,16 @@ class PPO:
         XLA inserts the cross-device reductions for the replicated params.
         Pass ``env_params`` as a jit argument (see collect)."""
         env_states, obs, traj = self.collect(pstate, env_states, obs, env_params)
-        scans, vels, acts, logps, values, rewards, dones = traj
+        feats, vels, acts, logps, values, rewards, dones = traj
 
-        _, _, last_value = self.policy.apply(
-            pstate.params, obs.scans[:, self.cfg.ego_idx],
+        _, _, last_value = self._apply(
+            pstate.params, self._featurize(obs.scans[:, self.cfg.ego_idx]),
             obs.linear_vels_x[:, self.cfg.ego_idx])
         adv, returns = self._gae(values, rewards, dones, last_value)
 
         t, e = rewards.shape
         flat = lambda x: x.reshape((t * e,) + x.shape[2:])
-        data = tuple(map(flat, (scans, vels, acts, logps, adv, returns)))
+        data = tuple(map(flat, (feats, vels, acts, logps, adv, returns)))
 
         key = pstate.key
         params, opt_state = pstate.params, pstate.opt_state
