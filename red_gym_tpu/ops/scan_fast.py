@@ -40,7 +40,8 @@ class RangeTexture(NamedTuple):
     shuffle), so the runtime scan contains no dynamic gathers at all beyond
     the 4 contiguous texture-row fetches."""
 
-    rt: jnp.ndarray        # (Hc * Wc, T) ranges [m]
+    rt: jnp.ndarray        # (Hc * Wc, T) ranges [m]; STORAGE dtype may be
+                           # bfloat16 (cfg.rt_dtype) — compute upcasts
     valid: jnp.ndarray     # (Hc * Wc,) free-space mask (occupied rows are 0)
     hc: jnp.ndarray        # int32 rows
     wc: jnp.ndarray        # int32 cols
@@ -68,6 +69,7 @@ def _texture_cache_path(tmap: TrackMap, cfg: SimConfig):
     if root.lower() in ("0", "off", "none", ""):
         return None
     h = hashlib.sha256()
+    h.update(b"rtex-v2|")   # build-recipe version (v2: 1mm valid-row floor)
     h.update(np.ascontiguousarray(np.asarray(tmap.dt)).tobytes())
     for v in (cfg.rt_pose_stride, cfg.rt_theta_bins, cfg.max_range, cfg.eps,
               float(np.asarray(tmap.resolution)),
@@ -121,6 +123,11 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         x, y = rows_to_world(r_idx, c_idx)
         origins = jnp.stack([x, y], axis=-1)                    # (B, Wc, 2)
         ranges = scan_ops.trace_angles(origins, angles, tmap, cfg_march)
+        # valid rows must be strictly positive EVERYWHERE: the runtime
+        # kernel reads validity off theta column 0 alone (no 128-wide
+        # max-reduce over the gathered rows); 1 mm floor, below the
+        # texture's error scale
+        ranges = jnp.maximum(ranges, 1e-3)
         free = scan_ops.dt_lookup(x, y, tmap) > 0.0
         # cells whose center lies beyond the TRUE map extents must be
         # invalid: dt_lookup's OOB read wraps to dt[-1,-1] (the reference
@@ -136,7 +143,7 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     cache = _texture_cache_path(tmap, cfg)
     if cache is not None and os.path.exists(cache):
         with np.load(cache) as z:
-            rt = jnp.asarray(z["rt"], dtype)
+            rt = jnp.asarray(z["rt"], dtype)   # cache holds full precision
             valid = jnp.asarray(z["valid"])
     else:
         rt_rows = []
@@ -194,7 +201,7 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     smat = np.concatenate([wf * np.cos(omega_c),
                            (-wf * np.sin(omega_c))[1:-1]], axis=0)  # (T, B)
 
-    return RangeTexture(rt=rt, valid=valid,
+    return RangeTexture(rt=rt.astype(cfg.rt_jdtype), valid=valid,
                         hc=jnp.asarray(hc, jnp.int32),
                         wc=jnp.asarray(wc, jnp.int32),
                         cell=jnp.asarray(cell, dtype),
@@ -234,6 +241,12 @@ def _use_pallas(cfg: SimConfig) -> bool:
     return cfg.scan_backend == "pallas"
 
 
+def _compute_dtype(rtex: RangeTexture):
+    """Interpolation compute dtype: the full-precision build dtype (fmat's),
+    independent of the possibly-bfloat16 rt STORAGE dtype."""
+    return rtex.fmat.dtype
+
+
 def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
                      midx=None):
     """Shared geometry for the fast lookups: bilinear cells + theta coords.
@@ -241,7 +254,7 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
     Returns (rows (..., 4), wgt (..., 4), u (..., B)).  With ``midx`` and a
     map-stacked texture, rows are offset into the flat (M*Hc*Wc, T) table."""
     t_bins = cfg.rt_theta_bins
-    dtype = rtex.rt.dtype
+    dtype = _compute_dtype(rtex)
     two_pi = 2.0 * math.pi
 
     phi = pose[..., 2:3] + tables.scan_angles                   # (..., B)
@@ -311,7 +324,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     t_bins = cfg.rt_theta_bins
     b_n = cfg.num_beams
     f_bins = t_bins // 2 + 1
-    dtype = rtex.rt.dtype
+    dtype = _compute_dtype(rtex)
     two_pi = 2.0 * math.pi
     rows, wgt, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
 
@@ -326,9 +339,11 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     rt2d = rtex.rt.reshape((-1, t_bins)) if rtex.rt.ndim == 3 else rtex.rt
     rows_v = jnp.take(rt2d, rows, axis=0)                       # (..., 4, T)
     # cell validity from the rows themselves: invalid (occupied-center)
-    # cells were zeroed at build time and valid cells always contain a
-    # positive range, so no separate valid-flag gather is needed
-    cell_ok = jnp.max(rows_v, axis=-1) > 0.0                    # (..., 4)
+    # cells were zeroed at build time and valid rows are >= 1mm EVERYWHERE
+    # (build-time floor), so column 0 alone carries validity — a 128-wide
+    # max-reduce here re-read the whole 67 MB gather output (0.6 ms/step
+    # at 16k envs)
+    cell_ok = rows_v[..., 0] > 0                                # (..., 4)
     wgt = wgt * cell_ok.astype(dtype)
     if cfg.rt_spatial == "nearest":
         # single best valid cell: the theta row is a REAL marched scan from
@@ -338,9 +353,14 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
             * (jnp.max(wgt, axis=-1, keepdims=True) > 0).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
     wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
-    # explicit multiply-reduce (not dot_general) fuses with the gather
-    blended = jnp.sum(rows_v * wnorm[..., :, None], axis=-2)    # (..., T)
+    # explicit multiply-reduce (not dot_general) fuses with the gather;
+    # a bfloat16 rows_v upcasts against the f32 weights right here
+    blended = jnp.sum(rows_v.astype(dtype) * wnorm[..., :, None],
+                      axis=-2)                                  # (..., T)
 
+    # NB: bf16 matmul INPUTS were measured at only +1.5% end-to-end while
+    # costing ~5x compile time and extra contract error — the constant
+    # matmuls stay full precision; only the rt STORAGE is bf16
     spec = jnp.matmul(blended, rtex.fmat,
                       preferred_element_type=dtype)             # (..., T)
     re, im = spec[..., :f_bins], spec[..., f_bins:]             # (...,F),(...,F-2)
@@ -412,7 +432,7 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     TPU; this variant is the readable definition both are tested against.
     """
     t_bins = cfg.rt_theta_bins
-    dtype = rtex.rt.dtype
+    dtype = _compute_dtype(rtex)
     rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
     wgt = wgt * jnp.take(rtex.valid.reshape((-1,)), rows).astype(dtype)
     if cfg.rt_spatial == "nearest":
@@ -427,8 +447,8 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     flat0 = rows[..., :, None] * t_bins + i0[..., None, :]       # (..., 4, B)
     flat1 = rows[..., :, None] * t_bins + i1[..., None, :]
     rt_flat = rtex.rt.reshape((-1,))
-    v0 = jnp.take(rt_flat, flat0)
-    v1 = jnp.take(rt_flat, flat1)
+    v0 = jnp.take(rt_flat, flat0).astype(dtype)
+    v1 = jnp.take(rt_flat, flat1).astype(dtype)
     v = v0 * (1 - a) + v1 * a                                    # (..., 4, B)
 
     num = jnp.sum(v * wgt[..., :, None], axis=-2)                # (..., B)
