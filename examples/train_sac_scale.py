@@ -30,6 +30,7 @@ from red_gym_tpu import env as envlib
 from red_gym_tpu.agents import sac as sac_lib
 from red_gym_tpu.assets import example_map_yaml
 from red_gym_tpu.utils import checkpoint as ckpt
+from red_gym_tpu.utils.profiling import Metrics
 
 
 def main():
@@ -38,6 +39,12 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--steps-per-iter", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--log-csv", type=str, default=None,
+                    help="write per-iteration metrics to this CSV")
+    ap.add_argument("--updates-per-step", type=int, default=1,
+                    help="gradient updates per collected env-step batch "
+                         "(raise to keep the replay ratio sane at small "
+                         "env counts)")
     ap.add_argument("--capacity", type=int, default=200_000)
     ap.add_argument("--beams", type=int, default=1080)
     ap.add_argument("--warmup-iters", type=int, default=2)
@@ -78,7 +85,7 @@ def main():
         # map/range textures would otherwise become HLO constants and blow
         # remote-compile request limits
         def body(pr, carry, _):
-            sstate, buf, states, obs, key = carry
+            sstate, buf, states, obs, key, acc = carry
             key, ka, kb, kr, ku = jax.random.split(key, 5)
 
             scan_obs = obs.scans[:, 0]
@@ -96,20 +103,28 @@ def main():
             states2 = jax.tree.map(sel, r_states, states2)
             obs2 = jax.tree.map(sel, r_obs, obs2)
 
-            metrics = {"reward": r.mean(), "done": done.mean(),
-                       "actor_loss": jnp.float32(0)}
+            actor_loss = jnp.float32(0)
             if do_update:
-                batch = buf.sample(kb, args.batch_size)
-                sstate, losses = sac.update(sstate, batch, ku)
-                metrics["actor_loss"] = losses["actor_loss"]
-            return (sstate, buf, states2, obs2, key), metrics
+                for j in range(args.updates_per_step):
+                    kb_j = jax.random.fold_in(kb, j)
+                    ku_j = jax.random.fold_in(ku, j)
+                    batch = buf.sample(kb_j, args.batch_size)
+                    sstate, losses = sac.update(sstate, batch, ku_j)
+                actor_loss = losses["actor_loss"]
+            # on-device metric accumulator carried through the scan —
+            # O(1) memory instead of stacking per-step metric pytrees
+            acc = Metrics.update(acc, reward=r.mean(), done=done.mean(),
+                                 actor_loss=actor_loss)
+            return (sstate, buf, states2, obs2, key, acc), None
 
         @jax.jit
         def iteration(pr, sstate, buf, states, obs, key):
-            (sstate, buf, states, obs, key), m = jax.lax.scan(
-                lambda c, x: body(pr, c, x), (sstate, buf, states, obs, key),
+            acc = Metrics.init(("reward", "done", "actor_loss"))
+            (sstate, buf, states, obs, key, acc), _ = jax.lax.scan(
+                lambda c, x: body(pr, c, x),
+                (sstate, buf, states, obs, key, acc),
                 None, length=args.steps_per_iter)
-            return sstate, buf, states, obs, key, jax.tree.map(jnp.mean, m)
+            return sstate, buf, states, obs, key, acc
 
         return iteration
 
@@ -118,16 +133,28 @@ def main():
 
     key = jax.random.PRNGKey(2)
     spi = args.envs * args.steps_per_iter
+    csv_f = None
+    if args.log_csv:
+        csv_f = open(args.log_csv, "w")
+        csv_f.write("iter,env_steps,reward,done_rate,actor_loss,wall_s\n")
+    t_start = time.time()
     for it in range(args.iters):
         t0 = time.time()
         fn = warmup_it if it < args.warmup_iters else train_it
-        sstate, buf, states, obs, key, m = fn(params, sstate, buf, states,
-                                              obs, key)
-        r = float(m["reward"])
+        sstate, buf, states, obs, key, acc = fn(params, sstate, buf, states,
+                                                obs, key)
+        m = Metrics.means(acc)
+        r = m["reward"]
         dt = time.time() - t0
-        print(f"iter {it}: reward={r:.4f} done_rate={float(m['done']):.3f} "
-              f"actor_loss={float(m['actor_loss']):.4f} "
+        print(f"iter {it}: reward={r:.4f} done_rate={m['done']:.3f} "
+              f"actor_loss={m['actor_loss']:.4f} "
               f"buf={int(buf.size)} ({spi / dt:,.0f} env-steps/s)", flush=True)
+        if csv_f:
+            csv_f.write(f"{it},{(it + 1) * spi},{r:.6f},{m['done']:.6f},"
+                        f"{m['actor_loss']:.6f},{time.time() - t_start:.2f}\n")
+            csv_f.flush()
+    if csv_f:
+        csv_f.close()
 
     ckpt.save(args.save, sstate)
     print(f"saved {args.save}")

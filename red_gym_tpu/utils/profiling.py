@@ -58,16 +58,18 @@ class Metrics:
     """Functional on-device metric accumulators: sums + counts."""
 
     @staticmethod
-    def init(names) -> Dict[str, jnp.ndarray]:
-        d = {n: jnp.zeros(()) for n in names}
-        d["_count"] = jnp.zeros(())
+    def init(names, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+        d = {n: jnp.zeros((), dtype) for n in names}
+        d["_count"] = jnp.zeros((), dtype)
         return d
 
     @staticmethod
     def update(acc, **values):
         out = dict(acc)
         for k, v in values.items():
-            out[k] = acc[k] + v
+            # cast to the accumulator dtype: a weak-f64 value must not
+            # change the carry structure mid-lax.scan
+            out[k] = acc[k] + jnp.asarray(v, acc[k].dtype)
         out["_count"] = acc["_count"] + 1.0
         return out
 
