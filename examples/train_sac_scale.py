@@ -92,8 +92,11 @@ def main():
             act, _ = sac_lib.sample_action(sstate.actor_params, sac.actor,
                                            scan_obs, ka)
             states2, obs2, _, done, _ = step_v(pr, states, to_control(act))
-            r = (obs2.linear_vels_x[:, 0] * cfg.timestep
-                 - 10.0 * obs2.collisions[:, 0])
+            # SAL-scale shaping (reference src/SAL.py:219-250 magnitudes:
+            # progress x10, crash -100): per-step rewards must dominate the
+            # alpha=0.2 entropy term or SAC optimizes entropy alone
+            r = (10.0 * obs2.linear_vels_x[:, 0] * cfg.timestep
+                 - 100.0 * obs2.collisions[:, 0])
             buf = buf.push_batch(scan_obs, act, r, obs2.scans[:, 0], done)
 
             rkeys = jax.random.split(kr, done.shape[0])

@@ -69,3 +69,18 @@ def test_seed_variance_is_sane():
     assert finals.std() < 0.5 * finals.mean(), \
         f"seed endpoint spread too wide: {finals}"
     assert finals.max() > 6.0, "no seed reached racing speed"
+
+
+def test_sac_scale_curve_learns():
+    """The committed scaled-SAC curve (SAL-scale shaping, replay ratio via
+    --updates-per-step) shows monotone-ish improvement: mean shaped reward
+    rises by >0.1 and the crash rate falls from first to last quarter."""
+    f = os.path.join(MEDIA, "sac_scale_curve.csv")
+    assert os.path.exists(f), "sac_scale_curve.csv not committed"
+    c = _load(f)
+    n = len(c["reward"])
+    head_r = c["reward"][: n // 4].mean()
+    tail_r = c["reward"][-n // 4:].mean()
+    assert tail_r > head_r + 0.1, (head_r, tail_r)
+    assert (c["done_rate"][-n // 4:].mean()
+            < 0.9 * c["done_rate"][: n // 4].mean())
