@@ -31,6 +31,10 @@ N_AGENTS = int(os.environ.get("BENCH_AGENTS", 2))
 STEPS = int(os.environ.get("BENCH_STEPS", 120))
 SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
 SCAN_INTERP = os.environ.get("BENCH_SCAN_INTERP", "spectral")
+# throughput configuration: single-gather nearest-cell lookup (error
+# contract + RL learning validated — docs/performance.md); set
+# BENCH_RT_SPATIAL=bilinear for the library-default interpolation
+RT_SPATIAL = os.environ.get("BENCH_RT_SPATIAL", "nearest1")
 # staggered grid spawns behind the start line
 START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
                   for i in range(N_AGENTS)])
@@ -39,7 +43,8 @@ START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
 def main():
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
-                    scan_mode=SCAN_MODE, scan_interp=SCAN_INTERP)
+                    scan_mode=SCAN_MODE, scan_interp=SCAN_INTERP,
+                    rt_spatial=RT_SPATIAL)
     params = envlib.make_params(cfg, example_map_yaml(), ".png")
 
     poses = jnp.tile(jnp.asarray(START[:N_AGENTS], jnp.float32), (N_ENVS, 1, 1))
@@ -78,7 +83,8 @@ def main():
         rate = max(rate, N_ENVS * STEPS / (time.time() - t0))
     print(json.dumps({
         "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam lidar, "
-                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}/{SCAN_INTERP}, 1 chip)",
+                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}/{SCAN_INTERP}/"
+                  f"{RT_SPATIAL}, 1 chip)",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / 3000.0, 2),

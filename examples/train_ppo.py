@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--beams", type=int, default=1080)
     ap.add_argument("--scan-mode", type=str, default="fast",
                     choices=["exact", "fast"])
+    ap.add_argument("--rt-spatial", type=str, default="bilinear",
+                    choices=["bilinear", "nearest", "nearest1"],
+                    help="fast-scan spatial lookup; nearest1 = the "
+                         "single-gather ultra-throughput mode")
     ap.add_argument("--save", type=str, default="ppo_ckpt")
     ap.add_argument("--map", type=str, default=None)
     ap.add_argument("--opponents", type=str, default="cruise",
@@ -68,7 +72,7 @@ def main():
 
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
                     timestep=0.01, integrator=Integrator.RK4, dtype="float32",
-                    scan_mode=args.scan_mode)
+                    scan_mode=args.scan_mode, rt_spatial=args.rt_spatial)
 
     map_idx = None
     if args.multi_map:

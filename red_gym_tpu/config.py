@@ -163,11 +163,18 @@ class SimConfig:
     # fast-scan spatial lookup.  "bilinear" (default): blend the 4
     # surrounding texture cells — best median error (~0.2 cell) but mixes
     # foreground/background ranges across occlusion edges.  "nearest":
-    # single best cell (a real marched scan from the quantized pose) —
-    # ~2x the median error, modestly smaller worst-case tail (measured
-    # frac>4cell 2.5% -> 1.9% at defaults; the remaining tail comes from
-    # THETA interpolation at visibility discontinuities, not the spatial
-    # blend).  Same runtime cost (the blend becomes a one-hot).
+    # single best cell of the 4 (a real marched scan from the quantized
+    # pose) — ~2x the median error, modestly smaller worst-case tail
+    # (measured frac>4cell 2.5% -> 1.9% at defaults; the remaining tail
+    # comes from THETA interpolation at visibility discontinuities, not
+    # the spatial blend).  Same runtime cost (the blend becomes a
+    # one-hot).  "nearest1": ONE rounded-cell gather instead of four —
+    # the texture-row gather is the hottest kernel of the whole step, so
+    # this is the ultra-throughput mode (~+35% whole-step); same error
+    # class as "nearest", except a pose whose nearest cell center is
+    # occupied reads scan 0 — defensible because such a pose is within
+    # ~cell/sqrt(2) of a wall, inside the car's own half-width, i.e.
+    # already physically colliding.
     rt_spatial: str = "bilinear"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
@@ -187,9 +194,9 @@ class SimConfig:
         if self.scan_interp not in ("linear", "spectral"):
             raise ValueError(f"scan_interp must be 'linear'|'spectral', got "
                              f"{self.scan_interp!r}")
-        if self.rt_spatial not in ("bilinear", "nearest"):
-            raise ValueError(f"rt_spatial must be 'bilinear'|'nearest', got "
-                             f"{self.rt_spatial!r}")
+        if self.rt_spatial not in ("bilinear", "nearest", "nearest1"):
+            raise ValueError(f"rt_spatial must be 'bilinear'|'nearest'|"
+                             f"'nearest1', got {self.rt_spatial!r}")
         if self.rt_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(f"rt_dtype must be 'auto'|'float32'|'bfloat16', "
                              f"got {self.rt_dtype!r}")

@@ -275,15 +275,22 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
     y_t = pose[..., 1] - oy
     gx = (x_t * oc + y_t * osn) / cell - 0.5
     gy = (-x_t * osn + y_t * oc) / cell - 0.5
-    c0 = jnp.floor(gx).astype(jnp.int32)
-    r0 = jnp.floor(gy).astype(jnp.int32)
-    fx = (gx - c0).astype(dtype)
-    fy = (gy - r0).astype(dtype)
+    if cfg.rt_spatial == "nearest1":
+        # single rounded cell: ONE texture-row gather instead of four —
+        # the row gather is the hottest kernel of the whole env step
+        rr = jnp.round(gy).astype(jnp.int32)[..., None]        # (..., 1)
+        cc = jnp.round(gx).astype(jnp.int32)[..., None]
+        wgt = jnp.ones(rr.shape, dtype)
+    else:
+        c0 = jnp.floor(gx).astype(jnp.int32)
+        r0 = jnp.floor(gy).astype(jnp.int32)
+        fx = (gx - c0).astype(dtype)
+        fy = (gy - r0).astype(dtype)
 
-    rr = jnp.stack([r0, r0, r0 + 1, r0 + 1], axis=-1)
-    cc = jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=-1)
-    wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
-                     fy * (1 - fx), fy * fx], axis=-1).astype(dtype)
+        rr = jnp.stack([r0, r0, r0 + 1, r0 + 1], axis=-1)
+        cc = jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=-1)
+        wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                         fy * (1 - fx), fy * fx], axis=-1).astype(dtype)
     in_bounds = (rr >= 0) & (rr < hc) & (cc >= 0) & (cc < wc)
     rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)
     if midx is not None:

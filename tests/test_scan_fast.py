@@ -298,3 +298,40 @@ def test_nearest_spatial_mode(setup):
     cell = float(rtex.cell)
     assert np.median(err) < 1.0 * cell
     assert np.all(b >= 0) and np.all(b <= CFG.max_range)
+
+
+def test_nearest1_single_gather_mode(setup):
+    """rt_spatial='nearest1' (one rounded-cell gather): MXU and gather
+    variants agree; error stays in the nearest-cell class; poses whose
+    nearest cell center is occupied read scan 0 (they are inside the car's
+    own half-width of a wall, i.e. already colliding)."""
+    import dataclasses
+
+    tmap, tables, rtex = setup
+    cfg_n = dataclasses.replace(CFG, rt_spatial="nearest1")
+    rng = np.random.default_rng(6)
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < 12:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 1.0:
+            poses.append([c * res + float(tmap.orig_x) + res / 2,
+                          r * res + float(tmap.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    poses = jnp.asarray(poses)
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, cfg_n))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_n))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
+    exact = np.asarray(scan_ops.trace(poses, tables, tmap, CFG))
+    err = np.abs(exact - b)
+    assert np.median(err) < 1.0 * float(rtex.cell)
+
+    # a pose whose nearest cell center is inside a wall reads all-zero
+    occ = np.argwhere(dt_np == 0.0)
+    r, c = occ[len(occ) // 2]
+    wall_pose = jnp.asarray([[c * res + float(tmap.orig_x) + res / 2,
+                              r * res + float(tmap.orig_y) + res / 2, 0.0]])
+    z = np.asarray(scan_fast.trace_fast_mxu(wall_pose, tables, tmap, rtex,
+                                            cfg_n))
+    assert np.all(z == 0.0)
