@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--warmup-iters", type=int, default=2)
     ap.add_argument("--save", type=str, default="sac_scale_ckpt")
     args = ap.parse_args()
+    if args.updates_per_step < 1:
+        ap.error("--updates-per-step must be >= 1")
 
     cfg = SimConfig(num_agents=1, num_beams=args.beams, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",

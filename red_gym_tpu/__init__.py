@@ -24,3 +24,14 @@ def make_vec(map, num_envs, **kwargs):
     from red_gym_tpu.vec_env import VecF110Env
 
     return VecF110Env(map, num_envs, **kwargs)
+
+
+# register 'f110-v0' with gymnasium when it is installed (the reference
+# registers 'f110_gym:f110-v0' on import, gym/f110_gym/__init__.py:1-5);
+# reference scripts on classic gym use red_gym_tpu.gym_compat instead
+try:
+    from red_gym_tpu import gym_adapter as _gym_adapter
+
+    _gym_adapter.register()
+except ImportError:  # gymnasium not installed — adapter is optional
+    pass

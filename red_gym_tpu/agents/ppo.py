@@ -219,7 +219,12 @@ class PPO:
                                                obs.linear_vels_x)  # (E, A, 2)
                 others = action_to_control(mean, self.pcfg, self.cfg.jdtype)
             elif self.opponent_plan is not None:
-                others = self.opponent_plan(obs, map_idx).astype(self.cfg.jdtype)
+                try:
+                    others = self.opponent_plan(obs, map_idx)
+                except TypeError:
+                    # pre-map_idx hook signature fn(obs) — still supported
+                    others = self.opponent_plan(obs)
+                others = others.astype(self.cfg.jdtype)
             else:
                 others = jnp.broadcast_to(
                     jnp.asarray([0.0, 1.5], self.cfg.jdtype), (e, a, 2))

@@ -46,7 +46,11 @@ def initialize(coordinator_address: Optional[str] = None,
     Must run before any computation touches a backend (device queries
     included).
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    try:                                   # public API where available
+        already = jax.distributed.is_initialized()
+    except AttributeError:                 # older jax: private fallback
+        already = jax._src.distributed.global_state.client is not None
+    if already:
         return
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
