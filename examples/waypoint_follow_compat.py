@@ -14,6 +14,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
+import jax
+
+if os.environ.get("F110_CPU"):
+    # the classic one-env host loop forces a transfer every step; through a
+    # relayed TPU that costs ~25-30 ms/step — run it on CPU (for batched
+    # TPU throughput use vec_env/rollout instead of this legacy API)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 # the one-line port: reference scripts say `import gym`

@@ -1,14 +1,23 @@
 """Worker process for tests/test_distributed.py.
 
-Runs ONE sharded PPO training step over a global env mesh and writes the
-resulting metrics + a parameter checksum to a JSON file.  Launched either
-as a single process with 8 virtual CPU devices (the baseline) or as 2
-processes x 4 virtual devices each (the multi-host configuration); both
-must produce the same numbers — that is the test.
+Runs N sharded PPO training steps over a global env mesh and writes the
+per-step losses + parameter checksums to a JSON file.  Launch shapes:
 
-Usage: python _distributed_worker.py <coordinator> <num_procs> <proc_id> <out.json>
+* 1 process x 8 virtual CPU devices  (the baseline program)
+* 2 processes x 4 devices / 4 processes x 2 devices (multi-host shapes)
+
+All shapes run the SAME global program and must produce the same numbers.
+Fault drill: ``--die-at k`` makes the LAST process exit abruptly
+(os._exit, no cleanup — a kill -9 equivalent) before step k; ``--resume``
+restores {pstate, env states, obs, step} from the orbax checkpoint dir and
+continues, and the combined loss sequence must equal an uninterrupted run.
+
+Usage: python _distributed_worker.py <coordinator> <num_procs> <proc_id>
+       <out.json> [--steps N] [--ckpt-every E] [--ckpt-dir D]
+       [--die-at K] [--resume]
 """
 
+import argparse
 import json
 import os
 import sys
@@ -17,8 +26,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    coord, nprocs, pid, out_path = sys.argv[1:5]
-    nprocs, pid = int(nprocs), int(pid)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("coord")
+    ap.add_argument("nprocs", type=int)
+    ap.add_argument("pid", type=int)
+    ap.add_argument("out")
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--ckpt-every", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--die-at", type=int, default=-1)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    nprocs, pid = args.nprocs, args.pid
 
     import jax
 
@@ -34,9 +53,10 @@ def main():
     from red_gym_tpu.agents.ppo import PPO, PPOConfig, ScanPolicy
     from red_gym_tpu.parallel import distributed as dist
     from red_gym_tpu.parallel import sharding as sh
+    from red_gym_tpu.utils import checkpoint as ckpt
 
     if nprocs > 1:
-        dist.initialize(coord, nprocs, pid)
+        dist.initialize(args.coord, nprocs, pid)
     assert jax.process_count() == nprocs, (jax.process_count(), nprocs)
     assert len(jax.devices()) == 8, f"want 8 global devices, got {len(jax.devices())}"
 
@@ -79,24 +99,49 @@ def main():
               ScanPolicy(hidden=32, scan_stride=4))
     pstate = ppo.init(jax.random.PRNGKey(1))
     pstate = sh.replicate(mesh, pstate)
-
-    train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
-    pstate2, states, obs, metrics = train(pstate, states, obs, env_params)
-
-    # all outputs below are replicated -> identical on every process
-    loss = float(metrics["loss"])
-    reward = float(metrics["reward_mean"])
-    checksum = float(sum(jnp.sum(jnp.abs(l)) for l in
-                         jax.tree.leaves(pstate2.params)))
     checksum0 = float(sum(jnp.sum(jnp.abs(l)) for l in
                           jax.tree.leaves(pstate.params)))
+
+    start_step = 0
+    if args.resume:
+        tpl = {"pstate": pstate, "states": states, "obs": obs}
+        got = ckpt.restore(args.ckpt_dir, like=tpl)
+        pstate, states, obs = got["pstate"], got["states"], got["obs"]
+        with open(os.path.join(args.ckpt_dir, "STEP")) as f:
+            start_step = int(f.read())
+
+    train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
+
+    losses, rewards, checksums = [], [], []
+    for t in range(start_step, args.steps):
+        if t == args.die_at and pid == nprocs - 1:
+            sys.stdout.flush()
+            os._exit(9)   # abrupt worker death: no cleanup, no barrier
+        pstate, states, obs, metrics = train(pstate, states, obs, env_params)
+        losses.append(float(metrics["loss"]))
+        rewards.append(float(metrics["reward_mean"]))
+        checksums.append(float(sum(jnp.sum(jnp.abs(l)) for l in
+                                   jax.tree.leaves(pstate.params))))
+        if args.ckpt_every and (t + 1) % args.ckpt_every == 0 \
+                and (args.die_at < 0 or t + 1 <= args.die_at):
+            ckpt.save(args.ckpt_dir,
+                      {"pstate": pstate, "states": states, "obs": obs})
+            if pid == 0:
+                with open(os.path.join(args.ckpt_dir, "STEP"), "w") as f:
+                    f.write(str(t + 1))
+
     out = {"process_count": jax.process_count(),
            "process_index": jax.process_index(),
-           "loss": loss, "reward_mean": reward,
-           "param_checksum": checksum, "param_checksum_before": checksum0}
-    with open(out_path, "w") as f:
+           "start_step": start_step,
+           "losses": losses, "rewards": rewards, "checksums": checksums,
+           # single-step back-compat fields
+           "loss": losses[-1], "reward_mean": rewards[-1],
+           "param_checksum": checksums[-1],
+           "param_checksum_before": checksum0}
+    with open(args.out, "w") as f:
         json.dump(out, f)
-    print("worker done:", out)
+    print("worker done:", {k: out[k] for k in
+                           ("process_count", "start_step", "loss")})
 
 
 if __name__ == "__main__":

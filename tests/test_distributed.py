@@ -26,14 +26,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(coord, nprocs, pid, out, devcount):
+def _spawn(coord, nprocs, pid, out, devcount, *extra):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", "").strip()
         + f" --xla_force_host_platform_device_count={devcount}").strip()
     env.pop("JAX_PLATFORMS", None)   # worker forces cpu via jax.config
     return subprocess.Popen(
-        [sys.executable, WORKER, coord, str(nprocs), str(pid), out],
+        [sys.executable, WORKER, coord, str(nprocs), str(pid), out,
+         *map(str, extra)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
@@ -68,3 +69,92 @@ def test_two_process_train_step_matches_single_process(tmp_path):
                                res["single"]["reward_mean"], rtol=1e-5)
     np.testing.assert_allclose(res[0]["param_checksum"],
                                res["single"]["param_checksum"], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_twenty_step_run_multi_shapes_match_single(tmp_path):
+    """VERDICT r2 item 3a+3b: a 20-step sharded PPO run in 2 processes x 4
+    devices AND 4 processes x 2 devices reproduces the single-process
+    20-step loss/checksum trajectory step for step, and training makes
+    progress (params keep moving, losses stay finite)."""
+    steps = 20
+    out_single = str(tmp_path / "single.json")
+    p = _spawn("none", 1, 0, out_single, 8, "--steps", steps)
+    log = p.communicate(timeout=1800)[0].decode()
+    assert p.returncode == 0, f"single-process worker failed:\n{log[-4000:]}"
+    base = json.load(open(out_single))
+    assert len(base["losses"]) == steps
+    assert np.all(np.isfinite(base["losses"]))
+    # params move EVERY step (training is live, not a no-op)
+    cs = [base["param_checksum_before"]] + base["checksums"]
+    assert all(a != b for a, b in zip(cs, cs[1:]))
+
+    for nprocs, dev in ((2, 4), (4, 2)):
+        coord = f"127.0.0.1:{_free_port()}"
+        outs = [str(tmp_path / f"p{nprocs}_{i}.json") for i in range(nprocs)]
+        procs = [_spawn(coord, nprocs, i, outs[i], dev, "--steps", steps)
+                 for i in range(nprocs)]
+        logs = [pr.communicate(timeout=1800)[0].decode() for pr in procs]
+        for pr, log in zip(procs, logs):
+            assert pr.returncode == 0, \
+                f"{nprocs}-process worker failed:\n{log[-4000:]}"
+        res = [json.load(open(o)) for o in outs]
+        # all processes see identical replicated outputs
+        for r in res[1:]:
+            assert r["losses"] == res[0]["losses"]
+        # and the multi-process trajectory matches the single-process one
+        np.testing.assert_allclose(res[0]["losses"], base["losses"],
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(res[0]["checksums"], base["checksums"],
+                                   rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_worker_death_and_checkpoint_resume(tmp_path):
+    """VERDICT r2 item 3c: kill worker 1 abruptly mid-run (os._exit, no
+    cleanup), restart BOTH processes from the orbax checkpoint, and the
+    resumed loss trajectory must continue exactly where the uninterrupted
+    run would be (CPU determinism -> tight tolerance)."""
+    steps, ckpt_every, die_at = 10, 4, 6
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    # uninterrupted baseline
+    out_single = str(tmp_path / "single.json")
+    p = _spawn("none", 1, 0, out_single, 8, "--steps", steps)
+    log = p.communicate(timeout=1800)[0].decode()
+    assert p.returncode == 0, f"baseline worker failed:\n{log[-4000:]}"
+    base = json.load(open(out_single))
+
+    # run 1: 2 processes, worker 1 dies before step 6 (after the step-4
+    # checkpoint); worker 0 blocks on the next collective and is reaped
+    coord = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"died_{i}.json") for i in range(2)]
+    procs = [_spawn(coord, 2, i, outs[i], 4, "--steps", steps,
+                    "--ckpt-every", ckpt_every, "--ckpt-dir", ckpt_dir,
+                    "--die-at", die_at) for i in range(2)]
+    assert procs[1].wait(timeout=1800) == 9, "worker 1 should die abruptly"
+    try:
+        procs[0].communicate(timeout=30)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()       # orchestrator reaps the stranded survivor
+        procs[0].communicate()
+    assert os.path.exists(os.path.join(ckpt_dir, "STEP"))
+    assert int(open(os.path.join(ckpt_dir, "STEP")).read()) == ckpt_every
+
+    # run 2: both workers restart from the checkpoint and finish
+    coord = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"resumed_{i}.json") for i in range(2)]
+    procs = [_spawn(coord, 2, i, outs[i], 4, "--steps", steps,
+                    "--ckpt-dir", ckpt_dir, "--resume") for i in range(2)]
+    logs = [pr.communicate(timeout=1800)[0].decode() for pr in procs]
+    for pr, log in zip(procs, logs):
+        assert pr.returncode == 0, f"resumed worker failed:\n{log[-4000:]}"
+    res = [json.load(open(o)) for o in outs]
+    assert res[0]["start_step"] == ckpt_every
+    assert res[0]["losses"] == res[1]["losses"]
+    # the resumed tail equals the uninterrupted run's tail
+    np.testing.assert_allclose(res[0]["losses"],
+                               base["losses"][ckpt_every:], rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(res[0]["checksums"],
+                               base["checksums"][ckpt_every:], rtol=2e-4)
