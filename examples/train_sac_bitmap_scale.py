@@ -56,17 +56,32 @@ def main():
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--map", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reward-mode", choices=("sal", "fixed"), default="fixed",
+                    help="'sal' reproduces the reference's world-coord-as-"
+                         "pixel reward quirk (collision fires ~always once "
+                         "the car leaves the world origin); 'fixed' uses "
+                         "the env's true collision flag + car-frame "
+                         "centering — the trainable signal")
+    ap.add_argument("--grad-clip", type=float, default=10.0,
+                    help="global-norm gradient clip (0 disables; the plain-"
+                         "Adam reference setup diverged to NaN at 64 envs)")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 CNN compute instead of bfloat16")
     args = ap.parse_args()
     if args.updates_per_step < 1:
         ap.error("--updates-per-step must be >= 1")
+
+    import jax.numpy as _jnp
 
     cfg = SimConfig(num_agents=1, num_beams=args.beams, timestep=0.015,
                     dtype="float32")
     params = envlib.make_params(cfg, args.map or example_map_yaml(), ".png")
     pcfg = pe.default_plan_config()._replace(
         bitmap_dims=(args.bitmap, args.bitmap))
-    env = pe.PlanningEnv(cfg, params, pcfg)
-    sac = SAC(obs_shape=(args.bitmap, args.bitmap), action_dim=pe.ACTION_DIM)
+    env = pe.PlanningEnv(cfg, params, pcfg, reward_mode=args.reward_mode)
+    sac = SAC(obs_shape=(args.bitmap, args.bitmap), action_dim=pe.ACTION_DIM,
+              grad_clip=args.grad_clip or None,
+              compute_dtype=_jnp.float32 if args.f32 else _jnp.bfloat16)
 
     e = args.envs
     # reference start pose (SAL.py:978 uses the example map default) with a

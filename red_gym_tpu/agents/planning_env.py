@@ -105,11 +105,29 @@ class PlanningEnv:
 
     def __init__(self, cfg: SimConfig, env_params: EnvParams,
                  pcfg: PlanConfig | None = None,
-                 mcfg: mpc.MPCConfig | None = None):
+                 mcfg: mpc.MPCConfig | None = None,
+                 reward_mode: str = "sal"):
+        """``reward_mode``:
+
+        * "sal"   — reference-faithful (default): collision/centering are
+          probed at _world_to_pixel of the ABSOLUTE pose, reproducing the
+          reference's world-coord-as-pixel quirk (SAL.py:229-243) — the
+          probe leaves the bitmap's black center square as soon as the car
+          is ~0.2 m from the world origin, after which the -100 collision
+          penalty fires almost every step.
+        * "fixed" — the same reward terms with physically-meaningful
+          probes: collision = the env's actual collision flag (iTTC/body),
+          centering evaluated at the car's true position in its own lidar
+          bitmap (the center).  Use for training that needs a sane signal.
+        """
+        if reward_mode not in ("sal", "fixed"):
+            raise ValueError(f"reward_mode must be 'sal'|'fixed', got "
+                             f"{reward_mode!r}")
         self.cfg = cfg
         self.env_params = env_params
         self.pcfg = pcfg or default_plan_config(cfg.jdtype)
         self.mcfg = mcfg or mpc.default_mpc_config(cfg.jdtype)
+        self.reward_mode = reward_mode
 
     def _bitmap(self, scan):
         return lidar_to_bitmap(scan, bg_color="black", draw_mode="FILL",
@@ -158,13 +176,22 @@ class PlanningEnv:
         bitmap = self._bitmap(obs.scans[ego])
 
         # rewards (SAL.py:219-250) — computed on the PREVIOUS bitmap
-        px, py = _world_to_pixel(obs.poses_x[ego], obs.poses_y[ego], pcfg)
-        collided = br.detect_collision(ps.bitmap, px, py)
         new_pos = jnp.stack([obs.poses_x[ego], obs.poses_y[ego]])
         progress = jnp.linalg.norm(new_pos - ps.prev_pos) * 10.0
-        centering = br.centerline_reward(
-            ps.bitmap, obs.poses_x[ego].astype(jnp.int32),
-            obs.poses_y[ego].astype(jnp.int32)) * 2.0
+        if self.reward_mode == "sal":
+            px, py = _world_to_pixel(obs.poses_x[ego], obs.poses_y[ego], pcfg)
+            collided = br.detect_collision(ps.bitmap, px, py)
+            centering = br.centerline_reward(
+                ps.bitmap, obs.poses_x[ego].astype(jnp.int32),
+                obs.poses_y[ego].astype(jnp.int32)) * 2.0
+        else:  # "fixed": env-true collision, car-frame centering probe
+            collided = obs.collisions[ego] > 0
+            h, w = pcfg.bitmap_dims
+            # probe one row above the drawn +-2px black car marker (the
+            # marker itself breaks the white run at the exact center)
+            centering = br.centerline_reward(
+                ps.bitmap, jnp.asarray(w // 2, jnp.int32),
+                jnp.asarray(h // 2 - 3, jnp.int32)) * 2.0
         lap_bonus = jnp.where(obs.lap_counts[ego] > ps.obs.lap_counts[ego],
                               500.0 - 10.0 * obs.lap_times[ego], 0.0)
         reward = (progress + centering + lap_bonus

@@ -210,12 +210,24 @@ class SAC:
                  gamma: float = 0.99, tau: float = 0.005, alpha: float = 0.2,
                  actor_lr: float = 3e-4, critic_lr: float = 3e-4,
                  compute_dtype=jnp.bfloat16, actor: nn.Module | None = None,
-                 critic: nn.Module | None = None, obs_dtype=jnp.uint8):
+                 critic: nn.Module | None = None, obs_dtype=jnp.uint8,
+                 grad_clip: float | None = None):
+        """``grad_clip``: optional global-norm gradient clip.  The reference
+        runs plain Adam (SAL.py:495-497) — None preserves that; scaled
+        many-env training benefits from clipping (the 64-env bitmap run
+        diverged to NaN without it)."""
         self.actor = actor if actor is not None else Actor(action_dim, compute_dtype)
         self.critic = critic if critic is not None else Critic(compute_dtype)
         self.gamma, self.tau, self.alpha = gamma, tau, alpha
-        self.actor_tx = optax.adam(actor_lr)
-        self.critic_tx = optax.adam(critic_lr)
+
+        def tx(lr):
+            if grad_clip is None:
+                return optax.adam(lr)
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(lr))
+
+        self.actor_tx = tx(actor_lr)
+        self.critic_tx = tx(critic_lr)
         self.obs_shape = obs_shape
         self.action_dim = action_dim
         self.obs_dtype = obs_dtype

@@ -121,6 +121,16 @@ class SimConfig:
     scan_noise_std: float = 0.01        # gaussian beam noise (laser_models.py:429)
     # iTTC wall-collision threshold (base_classes.py:113)
     ttc_thresh: float = 0.005
+    # scan-noise generation.  "fresh" (default): one threefry N(0, sigma)
+    # draw per env per step — exact gaussian, fresh stream (reference
+    # semantics, laser_models.py:450-452).  "pool": precompute
+    # noise_pool_rows gaussian beam-rows once; each env/step picks a row by
+    # a folded counter (one contiguous row fetch instead of 17M
+    # transcendentals/step at 16k envs).  Same marginal distribution,
+    # deterministic under the same key; rows recur across envs/steps —
+    # fine for sensor noise, not for anything cryptographic.
+    noise_mode: str = "fresh"
+    noise_pool_rows: int = 1024
     # steering delay depth (base_classes.py:107)
     steer_delay: int = 2
     # finish-line geometry (f110_env.py:216-230)
@@ -160,22 +170,48 @@ class SimConfig:
     # float64 parity mode.  Explicit "float32"/"bfloat16" override.
     # Interpolation/matmul COMPUTE always stays >= float32.
     rt_dtype: str = "auto"
-    # fast-scan spatial lookup.  "bilinear" (default): blend the 4
-    # surrounding texture cells — best median error (~0.2 cell) but mixes
-    # foreground/background ranges across occlusion edges.  "nearest":
-    # single best cell of the 4 (a real marched scan from the quantized
-    # pose) — ~2x the median error, modestly smaller worst-case tail
-    # (measured frac>4cell 2.5% -> 1.9% at defaults; the remaining tail
-    # comes from THETA interpolation at visibility discontinuities, not
-    # the spatial blend).  Same runtime cost (the blend becomes a
-    # one-hot).  "nearest1": ONE rounded-cell gather instead of four —
-    # the texture-row gather is the hottest kernel of the whole step, so
-    # this is the ultra-throughput mode (~+35% whole-step); same error
-    # class as "nearest", except a pose whose nearest cell center is
-    # occupied reads scan 0 — defensible because such a pose is within
-    # ~cell/sqrt(2) of a wall, inside the car's own half-width, i.e.
-    # already physically colliding.
-    rt_spatial: str = "bilinear"
+    # fast-scan spatial lookup.  "nearest1" (default): ONE rounded-cell row
+    # gather — the texture-row gather is the hottest kernel of the whole
+    # step, and with the gradient channels (rt_grad) correcting the pose
+    # offset to first order it reaches bilinear-class accuracy (r3 study:
+    # median 2.5 cm -> 3.1 cm is the whole gap at shipped settings); a
+    # pose whose nearest cell center is occupied reads scan 0 — defensible
+    # because such a pose is within ~cell/sqrt(2) of a wall, inside the
+    # car's own half-width, i.e. already physically colliding.
+    # "bilinear": blend the 4 surrounding cells — 4 row gathers, slightly
+    # better median/p90, second-order accurate with rt_grad.  "nearest":
+    # single best of the 4 (one-hot blend) — no pose-offset correction
+    # benefit over nearest1; kept for ablation.
+    rt_spatial: str = "nearest1"
+    # occlusion handling for the fast scan's theta interpolation (applies to
+    # scan_interp="linear"; "spectral" has no per-tap pipeline and relies on
+    # its Lanczos window instead):
+    #   "off"  — plain lerp between theta taps: blends foreground/background
+    #            ranges across visibility discontinuities (multi-meter
+    #            phantom ranges on the 2-4% of beams near occlusion edges)
+    #   "snap" — runtime-only: where adjacent taps jump by more than
+    #            rt_occlusion_cells * cell, snap to the nearer tap instead
+    #            of lerping (no extra texture channels)
+    #   "edge" — default: the texture stores per bin-pair the sub-bin edge
+    #            position e (bisection-refined at build) and transition
+    #            width w (0 = hard visibility edge -> step, 1 = smooth ->
+    #            lerp); beams render a parallax-corrected ramp through the
+    #            stored knots.  Smooth-but-steep pairs (grazing walls) get
+    #            w ~= 1 automatically, so misclassification degrades to the
+    #            plain lerp, never to a spurious step.
+    rt_occlusion: str = "edge"
+    # build-time edge-detection threshold in texture-cell units (also the
+    # runtime snap threshold for rt_occlusion="snap")
+    rt_occlusion_cells: float = 2.0
+    # bisection refinements of the e channel at build (sub-bin precision
+    # 2^-iters of a theta bin)
+    rt_edge_iters: int = 6
+    # pose-gradient channels: store dR/dx, dR/dy (analytic, from the wall
+    # tangent of adjacent hit points) and apply the first-order range
+    # correction for the pose's offset from the texture cell center before
+    # any interpolation — "nearest1" reaches bilinear-class accuracy from a
+    # single row gather; bilinear gains second-order accuracy.
+    rt_grad: bool = True
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -200,6 +236,18 @@ class SimConfig:
         if self.rt_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(f"rt_dtype must be 'auto'|'float32'|'bfloat16', "
                              f"got {self.rt_dtype!r}")
+        if self.noise_mode not in ("fresh", "pool"):
+            raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
+                             f"{self.noise_mode!r}")
+        if self.rt_occlusion not in ("off", "snap", "edge"):
+            raise ValueError(f"rt_occlusion must be 'off'|'snap'|'edge', got "
+                             f"{self.rt_occlusion!r}")
+        if self.scan_backend == "pallas" and (
+                self.rt_eff_occlusion != "off" or self.rt_grad):
+            raise ValueError(
+                "scan_backend='pallas' supports only rt_occlusion='off' (or "
+                "scan_interp='spectral') with rt_grad=False; the fused "
+                "epilogue kernel has no aux-channel path")
         if self.num_agents < 1 or self.num_beams < 2:
             raise ValueError("need num_agents >= 1 and num_beams >= 2")
         if self.ego_idx < 0 or self.ego_idx >= self.num_agents:
@@ -223,3 +271,17 @@ class SimConfig:
     @property
     def angle_increment(self) -> float:
         return self.fov / (self.num_beams - 1)
+
+    @property
+    def rt_eff_occlusion(self) -> str:
+        """Occlusion mode actually in effect: the edge/snap machinery lives
+        in the linear per-tap pipeline; spectral interpolation ignores it."""
+        return self.rt_occlusion if self.scan_interp == "linear" else "off"
+
+    @property
+    def rt_channels(self) -> int:
+        """Texture channels per theta bin: [R | e w (edge mode) | gx gy
+        (rt_grad)], concatenated along the row so ONE contiguous row gather
+        fetches everything."""
+        return (1 + (2 if self.rt_eff_occlusion == "edge" else 0)
+                + (2 if self.rt_grad else 0))

@@ -39,6 +39,9 @@ class EnvParams(NamedTuple):
     tables: scan_ops.ScanTables
     tmap: TrackMap
     rtex: Optional["scan_fast.RangeTexture"] = None  # fast-mode range texture
+    noise_pool: Optional[jnp.ndarray] = None  # (rows, B) pregenerated beam
+    # noise for cfg.noise_mode="pool" (one row fetch replaces 17M fresh
+    # transcendentals/step at 16k envs)
 
 
 class EnvState(NamedTuple):
@@ -96,7 +99,20 @@ def make_params(cfg: SimConfig, map_yaml_path: str, map_ext: str = ".png",
     rtex = None
     if cfg.scan_mode == "fast":
         rtex = scan_fast.build_range_texture(tmap, cfg)
-    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
+                     noise_pool=_make_noise_pool(cfg))
+
+
+def _make_noise_pool(cfg: SimConfig):
+    """Pregenerated N(0, sigma) beam rows for cfg.noise_mode='pool'.
+
+    Content is keyed by a fixed seed: determinism of a run stays governed
+    by the per-env state rng, which selects rows."""
+    if cfg.noise_mode != "pool" or cfg.scan_noise_std <= 0:
+        return None
+    key = jax.random.PRNGKey(0x5EED)
+    return cfg.scan_noise_std * jax.random.normal(
+        key, (cfg.noise_pool_rows, cfg.num_beams), cfg.jdtype)
 
 
 def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
@@ -124,7 +140,8 @@ def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
     if cfg.scan_mode == "fast":
         rtex = scan_fast.stack_textures(
             [scan_fast.build_range_texture(m, cfg) for m in maps])
-    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
+                     noise_pool=_make_noise_pool(cfg))
 
 
 def init_state(cfg: SimConfig, poses, key, map_idx=None) -> EnvState:
@@ -209,8 +226,14 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         scans = scan_ops.trace(poses, params.tables, params.tmap, cfg,
                                midx=state.map_idx)
     if cfg.scan_noise_std > 0:
-        noise = cfg.scan_noise_std * jax.random.normal(
-            sub, (cfg.num_beams,), dtype=scans.dtype)
+        if cfg.noise_mode == "pool" and params.noise_pool is not None:
+            # one row pick per env per step: contiguous fetch, no fresh
+            # transcendentals (see SimConfig.noise_mode)
+            r = jax.random.randint(sub, (), 0, cfg.noise_pool_rows)
+            noise = jnp.take(params.noise_pool, r, axis=0).astype(scans.dtype)
+        else:
+            noise = cfg.scan_noise_std * jax.random.normal(
+                sub, (cfg.num_beams,), dtype=scans.dtype)
         scans = scans + noise[None, :]
 
     # pairwise body collision (base_classes.py:529-543) — rectangle SAT

@@ -38,10 +38,21 @@ class RangeTexture(NamedTuple):
     the DFT domain (constant rfft matrix -> per-agent phase twiddle ->
     constant matrix fusing the inverse transform with the one-hot beam
     shuffle), so the runtime scan contains no dynamic gathers at all beyond
-    the 4 contiguous texture-row fetches."""
+    the 4 contiguous texture-row fetches.
 
-    rt: jnp.ndarray        # (Hc * Wc, T) ranges [m]; STORAGE dtype may be
-                           # bfloat16 (cfg.rt_dtype) — compute upcasts
+    ``rt`` rows may carry auxiliary CHANNELS concatenated after the T range
+    bins (layout [R | e w | gx gy], presence cfg-derived — see
+    SimConfig.rt_channels): ``e`` = sub-bin position of the visibility
+    discontinuity between theta bins k and k+1 (bisection-refined at build,
+    0.5 when none), ``w`` = transition width of that pair (0 = hard
+    occlusion edge -> render a step, 1 = smooth -> plain lerp), ``gx/gy`` =
+    dR/dpose (analytic, from the wall tangent of adjacent hit points;
+    zeroed at edges/max-range).  One contiguous row gather fetches all
+    channels."""
+
+    rt: jnp.ndarray        # (Hc * Wc, C * T) ranges [m] + aux channels;
+                           # STORAGE dtype may be bfloat16 (cfg.rt_dtype) —
+                           # compute upcasts
     valid: jnp.ndarray     # (Hc * Wc,) free-space mask (occupied rows are 0)
     hc: jnp.ndarray        # int32 rows
     wc: jnp.ndarray        # int32 cols
@@ -69,9 +80,12 @@ def _texture_cache_path(tmap: TrackMap, cfg: SimConfig):
     if root.lower() in ("0", "off", "none", ""):
         return None
     h = hashlib.sha256()
-    h.update(b"rtex-v2|")   # build-recipe version (v2: 1mm valid-row floor)
+    h.update(b"rtex-v7|")   # build-recipe version (v7: e pinned to 0.5 by w)
     h.update(np.ascontiguousarray(np.asarray(tmap.dt)).tobytes())
     for v in (cfg.rt_pose_stride, cfg.rt_theta_bins, cfg.max_range, cfg.eps,
+              cfg.march_iters,   # trace_angles: fixed fori budget vs while
+              cfg.rt_eff_occlusion == "edge", cfg.rt_grad,
+              cfg.rt_occlusion_cells, cfg.rt_edge_iters,
               float(np.asarray(tmap.resolution)),
               float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y)),
               str(np.dtype(tmap.dt.dtype))):
@@ -115,6 +129,12 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         return x, y
 
     cfg_march = cfg  # same eps/max_range semantics as the exact mode
+    need_edge = cfg.rt_eff_occlusion == "edge"
+    need_grad = cfg.rt_grad
+    n_chan = cfg.rt_channels
+    two_pi = 2.0 * math.pi
+    dth = two_pi / t_bins
+    thr = cfg.rt_occlusion_cells * cell
 
     @jax.jit
     def do_rows(r0):
@@ -138,7 +158,116 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         cx = (c_idx.astype(dtype) + 0.5) * stride
         free = free & (cy < tmap.height.astype(dtype)) \
                     & (cx < tmap.width.astype(dtype))
-        return ranges * free[..., None].astype(dtype), free
+
+        chans = [ranges]
+        shape3 = ranges.shape                                   # (B, Wc, T)
+        x3 = jnp.broadcast_to(x[..., None], shape3)
+        y3 = jnp.broadcast_to(y[..., None], shape3)
+        nxt = jnp.roll(ranges, -1, axis=-1)     # pair (k, k+1), circular
+        jump = jnp.abs(nxt - ranges)
+        if need_edge:
+            # Localize the dominant range discontinuity inside each bin
+            # pair.  A pure bisection on "closer to the left value" can
+            # converge to a smooth mean-crossing when the pair is
+            # non-monotone (measured failure mode: a 17 m jump classified
+            # smooth), so first an 8-point fine grid finds the steepest
+            # interval, then bisection refines WITHIN it with a local
+            # bracket.
+            is_edge = jump > thr
+            n_grid = 8
+            samples = [ranges]
+            for j in range(1, n_grid):
+                ang = angles[None, None, :] + (j / n_grid) * dth
+                samples.append(scan_ops.march(x3, y3, jnp.cos(ang),
+                                              jnp.sin(ang), tmap, cfg_march))
+            samples.append(nxt)
+            m = jnp.stack(samples, axis=0)            # (n_grid+1, B, Wc, T)
+            d = jnp.abs(m[1:] - m[:-1])               # (n_grid, ...)
+            dmax = jnp.max(d, axis=0)
+            jidx = jnp.argmax(d, axis=0)
+            lo = jidx.astype(dtype) / n_grid
+            hi = (jidx.astype(dtype) + 1.0) / n_grid
+            mlo = jnp.take_along_axis(m, jidx[None], axis=0)[0]
+            mhi = jnp.take_along_axis(m, jidx[None] + 1, axis=0)[0]
+            for _ in range(cfg.rt_edge_iters):
+                mid = 0.5 * (lo + hi)
+                ang = angles[None, None, :] + mid * dth
+                rm = scan_ops.march(x3, y3, jnp.cos(ang), jnp.sin(ang),
+                                    tmap, cfg_march)
+                left = jnp.abs(rm - mlo) < jnp.abs(rm - mhi)
+                lo = jnp.where(left, mid, lo)
+                hi = jnp.where(left, hi, mid)
+                mlo = jnp.where(left, rm, mlo)
+                mhi = jnp.where(left, mhi, rm)
+            e = 0.5 * (lo + hi)
+            # transition width from a LOCAL +-h probe around the localized
+            # position: a hard edge realizes ~the whole pair jump within 2h
+            # (w -> 0); a smooth ramp — even a strongly curved one, whose
+            # steepest grid interval exceeds the uniform share — realizes
+            # only slope*2h of it (w -> 1, rendering ~the plain lerp).
+            # (An interval-share width definition was measured to misread
+            # curvature as edginess: >1cell tail 6.7% -> 21%.)
+            hh = 1.0 / (n_grid * 2 ** cfg.rt_edge_iters)
+            ang_m = angles[None, None, :] + jnp.clip(e - hh, 0.0, 1.0) * dth
+            ang_p = angles[None, None, :] + jnp.clip(e + hh, 0.0, 1.0) * dth
+            r_m = scan_ops.march(x3, y3, jnp.cos(ang_m), jnp.sin(ang_m),
+                                 tmap, cfg_march)
+            r_p = scan_ops.march(x3, y3, jnp.cos(ang_p), jnp.sin(ang_p),
+                                 tmap, cfg_march)
+            frac_disc = jnp.abs(r_p - r_m) / jnp.maximum(jump, 1e-6)
+            w = jnp.clip(1.0 - frac_disc, 0.0, 1.0)
+            # partially-smooth pairs (w -> 1): the ramp must converge to
+            # the PLAIN LERP, i.e. its center must sit at 0.5 — pin e
+            # toward 0.5 by w.  Without this, a wide ramp centered on the
+            # steepest interval of a smooth grazing wall displaces the
+            # whole interpolation (measured: >1cell tail 6.7% -> 21%).
+            e = 0.5 * w + e * (1.0 - w)
+            chans.append(jnp.where(is_edge, e, 0.5))
+            chans.append(jnp.where(is_edge, w, 1.0))
+        if need_grad:
+            # analytic pose-gradient of the range field: adjacent hit
+            # points give the wall tangent t, grad = -n / (n . d) for the
+            # sensor-facing normal n (scale-invariant in n).  |grad| =
+            # 1/cos(incidence) is clamped; edges and max-range bins are
+            # zeroed (no well-defined wall there).
+            cos_t = jnp.cos(angles)[None, None, :]
+            sin_t = jnp.sin(angles)[None, None, :]
+            hx = x3 + ranges * cos_t
+            hy = y3 + ranges * sin_t
+            # wall tangent from adjacent hit points — ONE-SIDED at
+            # visibility edges (the cross-edge neighbor lies on a different
+            # surface and would corrupt the tangent); both sides cut ->
+            # no defined wall -> zero gradient
+            jl = jnp.roll(jump, 1, axis=-1) > thr     # cut to bin k-1
+            jr = jump > thr                           # cut to bin k+1
+            txr = jnp.roll(hx, -1, axis=-1) - hx
+            tyr = jnp.roll(hy, -1, axis=-1) - hy
+            txl = hx - jnp.roll(hx, 1, axis=-1)
+            tyl = hy - jnp.roll(hy, 1, axis=-1)
+            tx = jnp.where(jl, txr, jnp.where(jr, txl, txr + txl))
+            ty = jnp.where(jl, tyr, jnp.where(jr, tyl, tyr + tyl))
+            nx, ny = -ty, tx
+            nd = nx * cos_t + ny * sin_t
+            sgn = jnp.where(nd > 0, -1.0, 1.0)
+            nx, ny, nd = nx * sgn, ny * sgn, nd * sgn
+            nd = jnp.minimum(nd, -1e-9)          # facing the sensor
+            gx = -nx / nd
+            gy = -ny / nd
+            gn = jnp.sqrt(gx * gx + gy * gy)
+            sc = jnp.minimum(1.0, 8.0 / jnp.maximum(gn, 1e-9))
+            rmax = 0.999 * cfg.max_range
+            side_r = jnp.roll(ranges, -1, axis=-1) >= rmax
+            side_l = jnp.roll(ranges, 1, axis=-1) >= rmax
+            bad = (jl & jr) | (ranges >= rmax) \
+                | (jnp.where(jl, side_r, jnp.where(jr, side_l,
+                                                   side_r | side_l)))
+            sc = jnp.where(bad, 0.0, sc)
+            chans.append(gx * sc)
+            chans.append(gy * sc)
+        # concat channels along the row: one contiguous row gather at
+        # runtime fetches range + aux together
+        out = jnp.concatenate(chans, axis=-1)                   # (B, Wc, C*T)
+        return out * free[..., None].astype(dtype), free
 
     cache = _texture_cache_path(tmap, cfg)
     if cache is not None and os.path.exists(cache):
@@ -152,7 +281,8 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
             rng, fr = do_rows(jnp.int32(r0))
             rt_rows.append(rng)
             valid_rows.append(fr)
-        rt = jnp.concatenate(rt_rows, axis=0)[:hc].reshape(hc * wc, t_bins)
+        rt = jnp.concatenate(rt_rows, axis=0)[:hc] \
+                .reshape(hc * wc, n_chan * t_bins)
         valid = jnp.concatenate(valid_rows, axis=0)[:hc].reshape(hc * wc)
         if cache is not None:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
@@ -251,8 +381,11 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
                      midx=None):
     """Shared geometry for the fast lookups: bilinear cells + theta coords.
 
-    Returns (rows (..., 4), wgt (..., 4), u (..., B)).  With ``midx`` and a
-    map-stacked texture, rows are offset into the flat (M*Hc*Wc, T) table."""
+    Returns (rows (..., K), wgt (..., K), u (..., B), dx (..., K),
+    dy (..., K)) where K = 1 (nearest1) or 4, and dx/dy is the pose's WORLD
+    offset from each cell center (consumed by the gradient / edge-parallax
+    corrections).  With ``midx`` and a map-stacked texture, rows are offset
+    into the flat (M*Hc*Wc, C*T) table."""
     t_bins = cfg.rt_theta_bins
     dtype = _compute_dtype(rtex)
     two_pi = 2.0 * math.pi
@@ -296,12 +429,22 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
     if midx is not None:
         rows = rows + row_base
 
+    # pose offset from each gathered cell's center, in WORLD coordinates
+    # (cheap inverse of the map rotation; weights zero out-of-bounds cells
+    # so clipped indices never contribute)
+    cxr = (rr.astype(dtype) + 0.5) * cell    # rotated-frame y of center
+    cxc = (cc.astype(dtype) + 0.5) * cell    # rotated-frame x of center
+    cwx = cxc * oc - cxr * osn + ox
+    cwy = cxc * osn + cxr * oc + oy
+    dx = pose[..., 0:1] - cwx                                   # (..., K)
+    dy = pose[..., 1:2] - cwy
+
     # NB: weights here cover in-bounds only; callers must still drop
     # invalid (occupied-center) cells.  trace_fast_mxu derives that from the
     # gathered rows themselves (invalid rows are all-zero) — a per-element
     # gather of rtex.valid costs ~1 ms/step at 16k envs on TPU.
     wgt = wgt * in_bounds.astype(dtype)
-    return rows, wgt, u
+    return rows, wgt, u, dx.astype(dtype), dy.astype(dtype)
 
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
@@ -333,7 +476,10 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     f_bins = t_bins // 2 + 1
     dtype = _compute_dtype(rtex)
     two_pi = 2.0 * math.pi
-    rows, wgt, _ = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
+    n_chan = cfg.rt_channels
+    eff_occ = cfg.rt_eff_occlusion
+    rows, wgt, _, dx, dy = _cells_and_theta(pose, tables, tmap, rtex, cfg,
+                                            midx)
 
     # per-agent theta decomposition (beam offsets enter via constant gmat)
     s = jnp.mod(pose[..., 2], two_pi) * (t_bins / two_pi)       # (...,)
@@ -343,33 +489,100 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     # s can round up to exactly T (theta just under 2pi): wrap, don't clamp
     i_i = jnp.where(i_i >= t_bins, i_i - t_bins, i_i)
 
-    rt2d = rtex.rt.reshape((-1, t_bins)) if rtex.rt.ndim == 3 else rtex.rt
-    rows_v = jnp.take(rt2d, rows, axis=0)                       # (..., 4, T)
+    rt2d = rtex.rt.reshape((-1, rtex.rt.shape[-1])) \
+        if rtex.rt.ndim == 3 else rtex.rt
+    assert rt2d.shape[-1] == n_chan * t_bins, (
+        f"texture carries {rt2d.shape[-1] // t_bins} channels but the "
+        f"config expects {n_chan} — rebuild the range texture with this "
+        f"config (see SimConfig.rt_channels)")
+    rows_v = jnp.take(rt2d, rows, axis=0)                       # (...,K,C*T)
+    rr = rows_v[..., :t_bins]
     # cell validity from the rows themselves: invalid (occupied-center)
     # cells were zeroed at build time and valid rows are >= 1mm EVERYWHERE
     # (build-time floor), so column 0 alone carries validity — a 128-wide
     # max-reduce here re-read the whole 67 MB gather output (0.6 ms/step
     # at 16k envs)
-    cell_ok = rows_v[..., 0] > 0                                # (..., 4)
+    cell_ok = rr[..., 0] > 0                                    # (..., K)
     wgt = wgt * cell_ok.astype(dtype)
+    k_cells = wgt.shape[-1]
     if cfg.rt_spatial == "nearest":
         # single best valid cell: the theta row is a REAL marched scan from
         # one quantized pose, so occlusion edges never mix foreground and
         # background ranges spatially (see SimConfig.rt_spatial)
-        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), 4, dtype=dtype) \
+        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), k_cells, dtype=dtype) \
             * (jnp.max(wgt, axis=-1, keepdims=True) > 0).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
     wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
+
+    # ---- per-cell channel corrections (all (..., K, T) elementwise) ----
+    off = t_bins
+    e_rows = w_rows = None
+    rr_c = rr.astype(dtype)
+    if eff_occ == "edge":
+        e_rows = rows_v[..., off:off + t_bins].astype(dtype)
+        w_rows = rows_v[..., off + t_bins:off + 2 * t_bins].astype(dtype)
+        off += 2 * t_bins
+    if cfg.rt_grad:
+        gxr = rows_v[..., off:off + t_bins].astype(dtype)
+        gyr = rows_v[..., off + t_bins:off + 2 * t_bins].astype(dtype)
+        # first-order range correction for the pose's offset from the cell
+        # center: folds the gradient channels into the row BEFORE any
+        # matmul — nearest1 reaches bilinear-class accuracy from one gather
+        rr_c = jnp.clip(rr_c + dx[..., None] * gxr + dy[..., None] * gyr,
+                        0.0, cfg.max_range)
+    if eff_occ == "edge":
+        # EXACT parallax: the visibility edge is a fixed world point (the
+        # occluding corner).  Reconstruct it from the stored sub-bin angle e
+        # and the foreground range, then recompute its bearing from the
+        # actual pose — valid at any offset, unlike a first-order shift.
+        # Gated by (1 - w): smooth pairs (w = 1) keep e = 0.5 exactly.
+        dth = two_pi / t_bins
+        theta_e = (jnp.arange(t_bins, dtype=dtype) + e_rows) * dth
+        r_fore = jnp.maximum(
+            jnp.minimum(rr, jnp.roll(rr, -1, axis=-1)).astype(dtype), 0.05)
+        ex = r_fore * jnp.cos(theta_e) - dx[..., None]   # corner - pose
+        ey = r_fore * jnp.sin(theta_e) - dy[..., None]
+        beta = jnp.arctan2(ey, ex)
+        dbeta = beta - theta_e
+        dbeta = dbeta - jnp.round(dbeta / two_pi) * two_pi   # wrap [-pi, pi)
+        e_rows = e_rows + (1.0 - w_rows) * dbeta / dth
+
+    # ---- spatial blend (+ per-bin occlusion snap for bilinear) ----
     # explicit multiply-reduce (not dot_general) fuses with the gather;
     # a bfloat16 rows_v upcasts against the f32 weights right here
-    blended = jnp.sum(rows_v.astype(dtype) * wnorm[..., :, None],
-                      axis=-2)                                  # (..., T)
+    def blend(v):
+        return jnp.sum(v * wnorm[..., :, None], axis=-2)        # (..., T)
 
+    blended = blend(rr_c)
+    e_b = blend(e_rows) if e_rows is not None else None
+    w_b = blend(w_rows) if w_rows is not None else None
+    if eff_occ != "off" and k_cells > 1:
+        # spatially mixing foreground and background cells across a
+        # visibility edge is the same artifact as the theta lerp: where the
+        # valid cells disagree by more than the edge threshold, take the
+        # max-weight cell's value instead of the blend
+        ok = wgt > 0
+        big = jnp.asarray(1e9, dtype)
+        vmax = jnp.max(jnp.where(ok[..., None], rr_c, -big), axis=-2)
+        vmin = jnp.min(jnp.where(ok[..., None], rr_c, big), axis=-2)
+        spread = vmax - vmin                                    # (..., T)
+        snap = spread > cfg.rt_occlusion_cells * _cell_size(rtex, midx, dtype)
+        best = jnp.argmax(wgt, axis=-1)[..., None, None]
+        take_best = lambda v: jnp.take_along_axis(v, best, axis=-2)[..., 0, :]
+        blended = jnp.where(snap, take_best(rr_c), blended)
+        if e_b is not None:
+            e_b = jnp.where(snap, take_best(e_rows), e_b)
+            w_b = jnp.where(snap, take_best(w_rows), w_b)
+
+    # ---- exact integer roll in the packed DFT domain + beam taps ----
     # NB: bf16 matmul INPUTS were measured at only +1.5% end-to-end while
     # costing ~5x compile time and extra contract error — the constant
     # matmuls stay full precision; only the rt STORAGE is bf16
+    if e_b is not None:
+        # aux channels ride the same roll/shuffle pipeline as extra rows
+        blended = jnp.stack([blended, e_b, w_b], axis=-2)       # (..., 3, T)
     spec = jnp.matmul(blended, rtex.fmat,
-                      preferred_element_type=dtype)             # (..., T)
+                      preferred_element_type=dtype)             # (..., [3,] T)
     re, im = spec[..., :f_bins], spec[..., f_bins:]             # (...,F),(...,F-2)
 
     if cfg.scan_interp == "spectral":
@@ -396,17 +609,20 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     m = jnp.mod(i_i[..., None] * jnp.arange(f_bins, dtype=jnp.int32), t_bins)
     phi = m.astype(dtype) * (two_pi / t_bins)                   # (..., F)
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    if e_b is not None:
+        cphi, sphi = cphi[..., None, :], sphi[..., None, :]
     zero = jnp.zeros_like(re[..., 0:1])
     im_full = jnp.concatenate([zero, im, zero], axis=-1)        # (..., F)
     re_r = re * cphi - im_full * sphi
     im_r = (re * sphi + im_full * cphi)[..., 1:-1]
-    spec_r = jnp.concatenate([re_r, im_r], axis=-1)             # (..., T)
+    spec_r = jnp.concatenate([re_r, im_r], axis=-1)             # (..., [3,] T)
 
     c_frac = jnp.mod(tables.scan_angles * (t_bins / two_pi), 1.0).astype(dtype)
 
     if _use_pallas(cfg):
         # fused shuffle-matmul + blend: the (..., 3B) intermediate never
-        # touches HBM (ops/pallas_scan.py)
+        # touches HBM (ops/pallas_scan.py); config validation guarantees
+        # eff_occ == "off" and rt_grad == False here (unstacked spec_r)
         from red_gym_tpu.ops import pallas_scan
 
         batch = spec_r.shape[:-1]
@@ -416,50 +632,154 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         return out.reshape(batch + (b_n,))
 
     g = jnp.matmul(spec_r, rtex.gmat,
-                   preferred_element_type=dtype)                # (..., 3B)
+                   preferred_element_type=dtype)                # (..., [3,] 3B)
+    if e_b is not None:
+        g, g_e, g_w = g[..., 0, :], g[..., 1, :], g[..., 2, :]
     g0, g1, g2 = g[..., :b_n], g[..., b_n:2 * b_n], g[..., 2 * b_n:]
 
     alpha = f_s[..., None] + c_frac                              # (..., B) in [0,2)
-    w0 = jnp.maximum(1.0 - alpha, 0.0)
-    w2 = jnp.maximum(alpha - 1.0, 0.0)
-    w1 = 1.0 - w0 - w2
-    out = w0 * g0 + w1 * g1 + w2 * g2
+    if eff_occ == "off":
+        w0 = jnp.maximum(1.0 - alpha, 0.0)
+        w2 = jnp.maximum(alpha - 1.0, 0.0)
+        w1 = 1.0 - w0 - w2
+        out = w0 * g0 + w1 * g1 + w2 * g2
+    else:
+        # active pair: taps (0,1) for alpha < 1, (1,2) otherwise; frac is
+        # the within-pair coordinate (== frac of the gather variant's u)
+        frac = alpha - jnp.floor(alpha)
+        lt = alpha < 1.0
+        ga = jnp.where(lt, g0, g1)
+        gb = jnp.where(lt, g1, g2)
+        if eff_occ == "snap":
+            thr = cfg.rt_occlusion_cells * _cell_size(rtex, midx, dtype)
+            lerp = ga + frac * (gb - ga)
+            out = jnp.where(jnp.abs(gb - ga) > thr,
+                            jnp.where(frac < 0.5, ga, gb), lerp)
+        else:  # "edge": ramp through the stored (e, w) knots — a smooth
+            # pair has (e, w) = (0.5, 1), which reduces EXACTLY to the lerp
+            e_sel = jnp.clip(jnp.where(lt, g_e[..., :b_n],
+                                       g_e[..., b_n:2 * b_n]), 0.0, 1.0)
+            w_sel = jnp.clip(jnp.where(lt, g_w[..., :b_n],
+                                       g_w[..., b_n:2 * b_n]),
+                             1.0 / 32.0, 1.0)
+            aa = jnp.clip((frac - (e_sel - 0.5 * w_sel)) / w_sel, 0.0, 1.0)
+            out = ga + aa * (gb - ga)
 
     out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)
     return jnp.clip(out, 0.0, cfg.max_range)
+
+
+def _cell_size(rtex: RangeTexture, midx, dtype):
+    """Texture cell size [m], broadcastable against (..., B)/(..., T)."""
+    c = rtex.cell if midx is None else rtex.cell[midx]
+    c = jnp.asarray(c, dtype)
+    return c[..., None] if c.ndim else c
 
 
 def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                rtex: RangeTexture, cfg: SimConfig, midx=None):
     """Scan via the range texture: pose (..., 3) -> (..., num_beams).
 
-    Bilinear over the 4 surrounding texture cells (invalid cells dropped and
-    weights renormalized) x linear over the 2 neighboring theta bins —
-    element-gather formulation (8 gathers/beam).  Prefer trace_fast_mxu on
-    TPU; this variant is the readable definition both are tested against.
+    Spatial blend over the surrounding texture cells (invalid cells dropped
+    and weights renormalized) then linear/edge-aware interpolation over the
+    2 neighboring theta bins — element-gather formulation.  Prefer
+    trace_fast_mxu on TPU; this variant is the readable definition both are
+    tested against (same channel corrections: gradient fold, edge-parallax,
+    (e, w) ramp rendering — see trace_fast_mxu).
     """
     t_bins = cfg.rt_theta_bins
+    n_chan = cfg.rt_channels
+    eff_occ = cfg.rt_eff_occlusion
+    two_pi = 2.0 * math.pi
     dtype = _compute_dtype(rtex)
-    rows, wgt, u = _cells_and_theta(pose, tables, tmap, rtex, cfg, midx)
+    rows, wgt, u, dx, dy = _cells_and_theta(pose, tables, tmap, rtex, cfg,
+                                            midx)
+    assert rtex.rt.shape[-1] == n_chan * t_bins, (
+        f"texture carries {rtex.rt.shape[-1] // t_bins} channels but the "
+        f"config expects {n_chan} — rebuild the range texture")
     wgt = wgt * jnp.take(rtex.valid.reshape((-1,)), rows).astype(dtype)
+    k_cells = wgt.shape[-1]
     if cfg.rt_spatial == "nearest":
-        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), 4, dtype=dtype) \
+        wgt = jax.nn.one_hot(jnp.argmax(wgt, axis=-1), k_cells, dtype=dtype) \
             * (jnp.max(wgt, axis=-1, keepdims=True) > 0).astype(dtype)
     wsum = jnp.sum(wgt, axis=-1, keepdims=True)
+    wnorm = wgt / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
 
     i0 = jnp.floor(u).astype(jnp.int32) % t_bins
     i1 = (i0 + 1) % t_bins
-    a = (u - jnp.floor(u)).astype(dtype)[..., None, :]           # (..., 1, B)
+    a = (u - jnp.floor(u)).astype(dtype)                         # (..., B)
 
-    flat0 = rows[..., :, None] * t_bins + i0[..., None, :]       # (..., 4, B)
-    flat1 = rows[..., :, None] * t_bins + i1[..., None, :]
     rt_flat = rtex.rt.reshape((-1,))
-    v0 = jnp.take(rt_flat, flat0).astype(dtype)
-    v1 = jnp.take(rt_flat, flat1).astype(dtype)
-    v = v0 * (1 - a) + v1 * a                                    # (..., 4, B)
+    row_w = n_chan * t_bins
 
-    num = jnp.sum(v * wgt[..., :, None], axis=-2)                # (..., B)
-    out = num / jnp.maximum(wsum, jnp.asarray(1e-12, dtype))
+    def gath(chan, ibin):
+        """Channel value at theta bin ibin for every cell: (..., K, B)."""
+        flat = rows[..., :, None] * row_w + chan * t_bins + ibin[..., None, :]
+        return jnp.take(rt_flat, flat).astype(dtype)
+
+    r0 = gath(0, i0)
+    r1 = gath(0, i1)
+    chan = 1
+    if eff_occ == "edge":
+        e0 = gath(chan, i0)
+        w0 = gath(chan + 1, i0)
+        chan += 2
+    if cfg.rt_grad:
+        r0 = jnp.clip(r0 + dx[..., None] * gath(chan, i0)
+                      + dy[..., None] * gath(chan + 1, i0), 0.0, cfg.max_range)
+        r1 = jnp.clip(r1 + dx[..., None] * gath(chan, i1)
+                      + dy[..., None] * gath(chan + 1, i1), 0.0, cfg.max_range)
+    if eff_occ == "edge":
+        # exact corner-bearing parallax (same formula as the MXU row stage,
+        # evaluated at bin i0 only — the active pair's left)
+        dth = two_pi / t_bins
+        theta_e = (i0[..., None, :].astype(dtype) + e0) * dth
+        r_fore = jnp.maximum(jnp.minimum(gath(0, i0), gath(0, i1)), 0.05)
+        ex = r_fore * jnp.cos(theta_e) - dx[..., None]
+        ey = r_fore * jnp.sin(theta_e) - dy[..., None]
+        beta = jnp.arctan2(ey, ex)
+        dbeta = beta - theta_e
+        dbeta = dbeta - jnp.round(dbeta / two_pi) * two_pi
+        e0 = e0 + (1.0 - w0) * dbeta / dth
+
+    def blend(v):
+        return jnp.sum(v * wnorm[..., :, None], axis=-2)         # (..., B)
+
+    v0b, v1b = blend(r0), blend(r1)
+    e0b = blend(e0) if eff_occ == "edge" else None
+    w0b = blend(w0) if eff_occ == "edge" else None
+    if eff_occ != "off" and k_cells > 1:
+        # per-bin spatial occlusion snap, mirroring the MXU variant
+        thr = cfg.rt_occlusion_cells * _cell_size(rtex, midx, dtype)
+        ok = wgt[..., None] > 0
+        big = jnp.asarray(1e9, dtype)
+        best = jnp.argmax(wgt, axis=-1)[..., None, None]
+        tb = lambda v: jnp.take_along_axis(v, best, axis=-2)[..., 0, :]
+
+        def snap_blend(v, vb):
+            spread = jnp.max(jnp.where(ok, v, -big), axis=-2) \
+                - jnp.min(jnp.where(ok, v, big), axis=-2)
+            return jnp.where(spread > thr, tb(v), vb), spread > thr
+
+        v0b, s0 = snap_blend(r0, v0b)
+        v1b, _ = snap_blend(r1, v1b)
+        if e0b is not None:
+            e0b = jnp.where(s0, tb(e0), e0b)
+            w0b = jnp.where(s0, tb(w0), w0b)
+
+    if eff_occ == "off":
+        out = v0b * (1 - a) + v1b * a
+    elif eff_occ == "snap":
+        thr = cfg.rt_occlusion_cells * _cell_size(rtex, midx, dtype)
+        lerp = v0b + a * (v1b - v0b)
+        out = jnp.where(jnp.abs(v1b - v0b) > thr,
+                        jnp.where(a < 0.5, v0b, v1b), lerp)
+    else:  # "edge"
+        e_sel = jnp.clip(e0b, 0.0, 1.0)
+        w_sel = jnp.clip(w0b, 1.0 / 32.0, 1.0)
+        aa = jnp.clip((a - (e_sel - 0.5 * w_sel)) / w_sel, 0.0, 1.0)
+        out = v0b + aa * (v1b - v0b)
+
     # outside the texture / inside walls: fall back to 0 (collided anyway)
     out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)
     return jnp.clip(out, 0.0, cfg.max_range)

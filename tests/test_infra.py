@@ -329,3 +329,40 @@ def test_viewer_interaction_pan_zoom_follow(params):
     ego_x = float(np.asarray(state.x)[CFG.ego_idx, 0])
     assert abs((xl3[0] + xl3[1]) / 2 - ego_x) < 1e-6
     v.close()
+
+
+def test_noise_pool_mode():
+    """cfg.noise_mode='pool': same-key determinism, different rows across
+    steps, marginal std ~ sigma (round-3 throughput option)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from red_gym_tpu.config import SimConfig
+    from red_gym_tpu import env as envlib
+    from tests._assets import HAVE_REFERENCE
+    import pytest as _pytest
+
+    if not HAVE_REFERENCE:
+        _pytest.skip("reference assets")
+    cfg = SimConfig(num_agents=1, num_beams=256, dtype="float32",
+                    noise_mode="pool", noise_pool_rows=64, march_iters=8)
+    params = envlib.make_params(
+        cfg, "/root/reference/examples/example_map.yaml", ".png")
+    assert params.noise_pool.shape == (64, 256)
+    # pool stats: N(0, 0.01) rows
+    assert abs(float(jnp.std(params.noise_pool)) - cfg.scan_noise_std) < 2e-3
+
+    pose = jnp.asarray([[0.7, 0.0, 1.37]])
+    s1, o1, *_ = envlib.reset(cfg, params, pose, jax.random.PRNGKey(5))
+    s2, o2, *_ = envlib.reset(cfg, params, pose, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(o1.scans), np.asarray(o2.scans))
+
+    act = jnp.zeros((1, 2), jnp.float32)
+    s3, o3, *_ = envlib.step(cfg, params, s1, act)
+    # different step -> different folded key -> (almost surely) another row
+    assert not np.array_equal(np.asarray(o1.scans), np.asarray(o3.scans))
+
+    # noiseless config keeps the pool off
+    cfg0 = SimConfig(num_agents=1, num_beams=256, dtype="float32",
+                     noise_mode="pool", scan_noise_std=0.0)
+    assert envlib._make_noise_pool(cfg0) is None

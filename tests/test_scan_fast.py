@@ -18,9 +18,21 @@ from tests._assets import requires_reference
 pytestmark = requires_reference
 
 MAP_YAML = "/root/reference/examples/example_map.yaml"
-# coarse texture settings keep the CPU-test precompute cheap
+# coarse texture settings keep the CPU-test precompute cheap; plain-lerp /
+# no-gradient mode — the round-3 occlusion/gradient channels have their own
+# configs + fixtures below
 CFG = SimConfig(num_agents=1, num_beams=270, dtype="float64",
-                scan_mode="fast", rt_theta_bins=128, rt_pose_stride=4)
+                scan_mode="fast", rt_theta_bins=128, rt_pose_stride=4,
+                rt_occlusion="off", rt_grad=False)
+# edge/grad-channel config: even coarser stride (the edge build marches
+# ~13x per bin pair; stride 8 keeps the 1600^2 example-map fixture cheap)
+CFG_EDGE = SimConfig(num_agents=1, num_beams=270, dtype="float64",
+                     scan_mode="fast", rt_theta_bins=128, rt_pose_stride=8,
+                     rt_occlusion="edge", rt_grad=True)
+# plain-lerp config on the SAME stride-8 grid (fair tail comparison)
+CFG_OFF8 = SimConfig(num_agents=1, num_beams=270, dtype="float64",
+                     scan_mode="fast", rt_theta_bins=128, rt_pose_stride=8,
+                     rt_occlusion="off", rt_grad=False)
 
 
 @pytest.fixture(scope="module")
@@ -190,59 +202,101 @@ def test_texture_shapes(setup):
     assert occ_rows.size == 0 or np.all(occ_rows == 0)
 
 
-@pytest.mark.slow
-def test_error_contract_shipped_defaults_f32():
-    """Error contract at the SHIPPED configuration: rt_pose_stride=2 (cell =
-    0.125 m at the 0.0625 m/px maps), 128 theta bins, float32 textures (the
-    TPU dtype), 1080 beams — gates for both theta interpolation modes,
-    including occlusion-edge tail statistics (docs/performance.md pins the
-    measured values; these bounds carry ~1.5-2x headroom)."""
+def _contract_poses(tmap64, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    dt_np = np.asarray(tmap64.dt)
+    res = float(tmap64.resolution)
+    poses = []
+    while len(poses) < n:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > 0.3:     # free space including near-wall poses
+            poses.append([c * res + float(tmap64.orig_x) + res / 2,
+                          r * res + float(tmap64.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    return np.asarray(poses)
+
+
+def _run_contract(stride, gates):
+    """Shared error-contract harness: f32 textures at the given stride on
+    track_wide vs the f64 exact march; gates keyed by a config mutation."""
     import dataclasses
 
     data = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu",
                         "assets", "data")
     y = os.path.join(data, "track_wide.yaml")
     cfg32 = SimConfig(num_agents=1, num_beams=1080, dtype="float32",
-                      scan_mode="fast")
-    assert cfg32.rt_pose_stride == 2 and cfg32.rt_theta_bins == 128, \
-        "shipped defaults changed; re-pin this contract"
-    cfg64 = dataclasses.replace(cfg32, dtype="float64")
+                      scan_mode="fast", rt_pose_stride=stride)
+    cfg64 = dataclasses.replace(cfg32, dtype="float64", rt_occlusion="off",
+                                rt_grad=False)
     tmap32 = load_map(y, ".png", dtype=jnp.float32)
     tmap64 = load_map(y, ".png", dtype=jnp.float64)
     tab32 = scan_ops.build_tables(cfg32, 0.31, 0.58, dtype=jnp.float32)
     tab64 = scan_ops.build_tables(cfg64, 0.31, 0.58, dtype=jnp.float64)
-    rtex32 = scan_fast.build_range_texture(tmap32, cfg32)
 
-    rng = np.random.default_rng(0)
-    dt_np = np.asarray(tmap64.dt)
-    res = float(tmap64.resolution)
-    poses = []
-    while len(poses) < 64:
-        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
-        if dt_np[r, c] > 0.3:     # free space including near-wall poses
-            poses.append([c * res + float(tmap64.orig_x) + res / 2,
-                          r * res + float(tmap64.orig_y) + res / 2,
-                          rng.uniform(0, 2 * np.pi)])
-    poses = np.asarray(poses)
+    poses = _contract_poses(tmap64)
     exact = np.asarray(scan_ops.trace(jnp.asarray(poses), tab64, tmap64,
                                       cfg64))
-    cell = float(rtex32.cell)
-    # measured at pin time (linear/spectral): median .025/.027, p90 .069/.095,
-    # frac>cell .040/.077, frac>4cell .025/.041
-    gates = {"linear": (0.05, 0.15, 0.08, 0.05),
-             "spectral": (0.06, 0.20, 0.12, 0.07)}
-    for interp, (g_med, g_p90, g_cell, g_4cell) in gates.items():
-        ci = dataclasses.replace(cfg32, scan_interp=interp)
+    textures = {}
+    for name, (mut, _) in gates.items():
+        ci = dataclasses.replace(cfg32, **mut)
+        key = (ci.rt_eff_occlusion, ci.rt_grad)
+        if key not in textures:
+            textures[key] = scan_fast.build_range_texture(tmap32, ci)
+        rtex = textures[key]
+        cell = float(rtex.cell)
         fast = np.asarray(scan_fast.trace_fast_mxu(
-            jnp.asarray(poses, np.float32), tab32, tmap32, rtex32, ci))
+            jnp.asarray(poses, np.float32), tab32, tmap32, rtex, ci))
         err = np.abs(exact - fast)
-        assert np.median(err) < g_med, (interp, np.median(err))
-        assert np.quantile(err, 0.9) < g_p90, (interp, np.quantile(err, 0.9))
-        # occlusion-edge tail: bounded fraction of beams off by >1 / >4 cells
-        assert np.mean(err > cell) < g_cell, (interp, np.mean(err > cell))
-        assert np.mean(err > 4 * cell) < g_4cell, (interp,
+        g_med, g_p90, g_p99, g_cell, g_4cell = gates[name][1]
+        assert np.median(err) < g_med, (name, np.median(err))
+        assert np.quantile(err, 0.9) < g_p90, (name, np.quantile(err, 0.9))
+        assert np.quantile(err, 0.99) < g_p99, (name, np.quantile(err, 0.99))
+        assert np.mean(err > cell) < g_cell, (name, np.mean(err > cell))
+        assert np.mean(err > 4 * cell) < g_4cell, (name,
                                                    np.mean(err > 4 * cell))
         assert np.all(fast >= 0) and np.all(fast <= cfg32.max_range)
+
+
+@pytest.mark.slow
+def test_error_contract_shipped_defaults_f32():
+    """Error contract at the SHIPPED configuration: rt_pose_stride=2 (cell =
+    0.125 m at the 0.0625 m/px maps), 128 theta bins, float32 textures (the
+    TPU dtype), 1080 beams, nearest1/linear with edge+gradient channels
+    (the round-3 default).  Gates pin the r3 study values with ~1.5x
+    headroom; docs/performance.md carries the measured numbers.
+
+    Measured at pin time (track_wide, 64 poses incl. near-wall):
+      default (nearest1/linear/edge+grad): median .031, p90 .102, p99 .375,
+        >1cell 6.6%, >4cell 0.79%  (pre-r3 defaults: p99 3.52, >4cell 2.5%)
+      spectral ultra mode (grad, no edge):  median .034, p90 .140, p99 4.54,
+        >1cell 11.7%, >4cell 3.8%
+      legacy bilinear/linear (no channels): median .026, p90 .071, p99 3.52,
+        >1cell 4.1%, >4cell 2.5%
+    """
+    cfg_probe = SimConfig(scan_mode="fast")
+    assert (cfg_probe.rt_pose_stride, cfg_probe.rt_theta_bins,
+            cfg_probe.rt_spatial, cfg_probe.scan_interp,
+            cfg_probe.rt_occlusion, cfg_probe.rt_grad) == \
+        (2, 128, "nearest1", "linear", "edge", True), \
+        "shipped defaults changed; re-pin this contract"
+    _run_contract(stride=2, gates={
+        "default": ({}, (0.05, 0.16, 0.55, 0.10, 0.015)),
+        "spectral": ({"scan_interp": "spectral"},
+                     (0.06, 0.22, 6.0, 0.17, 0.06)),
+        "legacy": ({"rt_occlusion": "off", "rt_grad": False,
+                    "rt_spatial": "bilinear"},
+                   (0.05, 0.12, 5.0, 0.08, 0.04)),
+    })
+
+
+def test_error_contract_sentinel_coarse():
+    """Fast-lane sentinel of the same contract at rt_pose_stride=8 (cheap
+    fresh build): catches regressions in the edge/grad machinery without
+    the stride-2 build cost on cold-cache machines.  Gates scaled to the
+    0.5 m cell."""
+    _run_contract(stride=8, gates={
+        "default": ({}, (0.35, 1.0, 3.2, 0.32, 0.05)),
+    })
 
 
 def test_texture_disk_cache_roundtrip(tmp_path, setup, monkeypatch):
@@ -335,3 +389,116 @@ def test_nearest1_single_gather_mode(setup):
     z = np.asarray(scan_fast.trace_fast_mxu(wall_pose, tables, tmap, rtex,
                                             cfg_n))
     assert np.all(z == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# round-3 occlusion/gradient channel modes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_edge():
+    tmap = load_map(MAP_YAML, ".png", dtype=jnp.float64)
+    tables = scan_ops.build_tables(CFG_EDGE, 0.31, 0.58, dtype=jnp.float64)
+    rtex = scan_fast.build_range_texture(tmap, CFG_EDGE)
+    return tmap, tables, rtex
+
+
+def _free_poses(tmap, n, seed, clearance=0.5):
+    rng = np.random.default_rng(seed)
+    dt_np = np.asarray(tmap.dt)
+    res = float(tmap.resolution)
+    poses = []
+    while len(poses) < n:
+        r, c = rng.integers(0, dt_np.shape[0]), rng.integers(0, dt_np.shape[1])
+        if dt_np[r, c] > clearance:
+            poses.append([c * res + float(tmap.orig_x) + res / 2,
+                          r * res + float(tmap.orig_y) + res / 2,
+                          rng.uniform(0, 2 * np.pi)])
+    return jnp.asarray(poses)
+
+
+def test_edge_texture_channels(setup_edge):
+    """Edge mode textures carry [R | e w | gx gy]; e in [0,1], w in [0,1],
+    |grad| clamped, occupied rows all-zero."""
+    tmap, tables, rtex = setup_edge
+    t = CFG_EDGE.rt_theta_bins
+    assert CFG_EDGE.rt_channels == 5
+    assert rtex.rt.shape[-1] == 5 * t
+    rt = np.asarray(rtex.rt)
+    valid = np.asarray(rtex.valid)
+    e, w = rt[valid, t:2 * t], rt[valid, 2 * t:3 * t]
+    g = rt[valid, 3 * t:]
+    assert e.min() >= 0.0 and e.max() <= 1.0
+    assert w.min() >= 0.0 and w.max() <= 1.0
+    assert np.abs(g).max() <= 8.0 + 1e-6
+    assert np.all(rt[~valid] == 0.0)
+
+
+@pytest.mark.parametrize("spatial", ["nearest1", "bilinear"])
+def test_edge_mode_variants_agree(setup_edge, spatial):
+    """trace_fast (element gather) == trace_fast_mxu (matmul pipeline) in
+    the full edge+grad configuration, both spatial modes."""
+    import dataclasses
+
+    tmap, tables, rtex = setup_edge
+    cfg = dataclasses.replace(CFG_EDGE, rt_spatial=spatial)
+    poses = _free_poses(tmap, 10, seed=13)
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, cfg))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-7)
+
+
+def test_snap_mode_variants_agree(setup):
+    """rt_occlusion='snap' needs no extra channels and the two variants
+    agree (the plain single-channel texture serves it)."""
+    import dataclasses
+
+    tmap, tables, rtex = setup
+    cfg = dataclasses.replace(CFG, rt_occlusion="snap")
+    assert cfg.rt_channels == 1
+    poses = _free_poses(tmap, 8, seed=17)
+    a = np.asarray(scan_fast.trace_fast(poses, tables, tmap, rtex, cfg))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8)
+
+
+def test_edge_mode_cuts_occlusion_tail(setup_edge):
+    """The whole point of the e/w channels: the occlusion-edge error tail
+    collapses vs plain lerp on the SAME texture grid (p99 and the >4-cell
+    fraction both improve)."""
+    tmap, tables, rtex_edge = setup_edge
+    rtex_off = scan_fast.build_range_texture(tmap, CFG_OFF8)
+    poses = _free_poses(tmap, 24, seed=19, clearance=0.3)
+    exact = np.asarray(scan_ops.trace(poses, tables, tmap, CFG_OFF8))
+    off = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap,
+                                              rtex_off, CFG_OFF8))
+    edge = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap,
+                                               rtex_edge, CFG_EDGE))
+    err_off = np.abs(exact - off)
+    err_edge = np.abs(exact - edge)
+    cell = float(rtex_off.cell)
+    assert np.quantile(err_edge, 0.99) < 0.7 * np.quantile(err_off, 0.99)
+    assert np.mean(err_edge > 4 * cell) < np.mean(err_off > 4 * cell)
+
+
+def test_pallas_rejects_edge_mode():
+    with pytest.raises(ValueError, match="pallas"):
+        SimConfig(scan_backend="pallas", rt_occlusion="edge", rt_grad=False)
+    with pytest.raises(ValueError, match="pallas"):
+        SimConfig(scan_backend="pallas", rt_occlusion="off", rt_grad=True)
+    # spectral neutralizes the occlusion setting -> allowed with grad off
+    SimConfig(scan_backend="pallas", scan_interp="spectral",
+              rt_occlusion="edge", rt_grad=False)
+
+
+def test_channel_mismatch_raises(setup, setup_edge):
+    """A texture built for one channel layout refuses to serve a config
+    expecting another (silent misindexing would be catastrophic)."""
+    tmap, tables, rtex_off = setup
+    _, _, rtex_edge = setup_edge
+    poses = _free_poses(tmap, 2, seed=23)
+    with pytest.raises(AssertionError, match="channels"):
+        scan_fast.trace_fast_mxu(poses, tables, tmap, rtex_off, CFG_EDGE)
+    with pytest.raises(AssertionError, match="channels"):
+        scan_fast.trace_fast(poses, tables, tmap, rtex_edge, CFG)
