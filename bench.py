@@ -1,7 +1,12 @@
 """Benchmark: aggregate env-steps/s, 2-agent races with 1080-beam lidar.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints one JSON line per measured mode; the LAST line (the one the driver
+records) is the LIBRARY-DEFAULT configuration — fast scan_mode with the
+round-3 defaults: nearest1 spatial (one texture-row gather), linear theta
+interpolation with the occlusion edge/width channels and gradient
+pose-correction (error contract: median 3.1 cm, p99 0.38 m,
+docs/performance.md).  The preceding line is the spectral ultra-throughput
+mode (pre-r3 error class, no per-tap pipeline).
 
 The reference publishes no absolute throughput number; its closest claim is
 "up to 30x realtime" for the full env (reference docs/index.rst:12), i.e.
@@ -9,12 +14,16 @@ The reference publishes no absolute throughput number; its closest claim is
 ratio against that claim.
 """
 
+import dataclasses
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from red_gym_tpu.utils import platform as _platform
+_platform.apply()          # RGT_PLATFORM=cpu for off-TPU smoke runs
 
 import numpy as np
 import jax
@@ -29,25 +38,28 @@ N_AGENTS = int(os.environ.get("BENCH_AGENTS", 2))
 # enough steps per timed call that the one forcing transfer (a ~25-30ms
 # relay round trip on remote TPU backends) is amortized below 1%
 STEPS = int(os.environ.get("BENCH_STEPS", 120))
-SCAN_MODE = os.environ.get("BENCH_SCAN_MODE", "fast")
-SCAN_INTERP = os.environ.get("BENCH_SCAN_INTERP", "spectral")
-# throughput configuration: single-gather nearest-cell lookup (error
-# contract + RL learning validated — docs/performance.md); set
-# BENCH_RT_SPATIAL=bilinear for the library-default interpolation
-RT_SPATIAL = os.environ.get("BENCH_RT_SPATIAL", "nearest1")
+# "default" = library defaults; "ultra" = spectral/no-edge-channels;
+# BENCH_MODES=default skips the ultra line
+MODES = os.environ.get("BENCH_MODES", "ultra,default").split(",")
 # staggered grid spawns behind the start line
 START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
                   for i in range(N_AGENTS)])
 
 
-def main():
+def make_cfg(mode: str) -> SimConfig:
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
-                    scan_mode=SCAN_MODE, scan_interp=SCAN_INTERP,
-                    rt_spatial=RT_SPATIAL)
-    params = envlib.make_params(cfg, example_map_yaml(), ".png")
+                    scan_mode="fast")
+    if mode == "ultra":
+        cfg = dataclasses.replace(cfg, scan_interp="spectral")
+    return cfg
 
-    poses = jnp.tile(jnp.asarray(START[:N_AGENTS], jnp.float32), (N_ENVS, 1, 1))
+
+def measure(cfg: SimConfig) -> float:
+    params = envlib.make_params(
+        cfg, os.environ.get("BENCH_MAP") or example_map_yaml(), ".png")
+    poses = jnp.tile(jnp.asarray(START[:N_AGENTS], jnp.float32),
+                     (N_ENVS, 1, 1))
     init = jax.jit(jax.vmap(lambda po, k: envlib.init_state(cfg, po, k)))
     states = init(poses, jax.random.split(jax.random.PRNGKey(0), N_ENVS))
 
@@ -81,14 +93,23 @@ def main():
         s, dones, ssum = run(params, states, jax.random.PRNGKey(2 + i))
         float(jnp.sum(s.x) + jnp.sum(ssum))
         rate = max(rate, N_ENVS * STEPS / (time.time() - t0))
-    print(json.dumps({
-        "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam lidar, "
-                  f"{N_ENVS} envs, scan_mode={SCAN_MODE}/{SCAN_INTERP}/"
-                  f"{RT_SPATIAL}, 1 chip)",
-        "value": round(rate, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(rate / 3000.0, 2),
-    }))
+    return rate
+
+
+def main():
+    for mode in MODES:
+        cfg = make_cfg(mode)
+        rate = measure(cfg)
+        label = ("library default: fast/nearest1/linear + edge/grad channels"
+                 if mode == "default" else
+                 "ultra: fast/nearest1/spectral (pre-r3 error class)")
+        print(json.dumps({
+            "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam "
+                      f"lidar, {N_ENVS} envs, {label}, 1 chip)",
+            "value": round(rate, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(rate / 3000.0, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":

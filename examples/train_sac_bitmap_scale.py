@@ -96,7 +96,9 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     key, kr = jax.random.split(key)
+    print("compiling vmapped reset...", flush=True)
     ps = reset_v(poses, jax.random.split(kr, e))
+    print("reset ready; initializing SAC...", flush=True)
 
     sstate = sac.init(jax.random.PRNGKey(args.seed + 1))
     buf = ReplayBuffer.create(args.capacity,

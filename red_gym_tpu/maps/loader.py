@@ -54,12 +54,18 @@ def load_map_image(image_path: str) -> np.ndarray:
 
 
 def load_map(map_yaml_path: str, map_ext: str = ".png", dtype=jnp.float32,
-             pad_to: tuple[int, int] | None = None) -> TrackMap:
+             pad_to: tuple[int, int] | None = None,
+             edt_backend: str = "host") -> TrackMap:
     """Load yaml + image, compute the EDT, return a TrackMap.
 
     ``pad_to`` pads the dt/occupancy textures (with zeros = "at obstacle", so
     padded cells terminate rays immediately) to a common shape for multi-map
     batching; the true height/width scalars keep the bounds check exact.
+
+    ``edt_backend``: "host" (default — native C++ Felzenszwalb with scipy
+    fallback, exact f64) or "device" (ops/edt.py min-plus passes on the
+    accelerator, exact f32 — lets procedurally generated occupancy grids
+    stay on device; see tests/test_edt.py for parity).
     """
     with open(map_yaml_path) as f:
         meta = yaml.safe_load(f)
@@ -70,7 +76,12 @@ def load_map(map_yaml_path: str, map_ext: str = ".png", dtype=jnp.float32,
     occ = load_map_image(image_path)
     h, w = occ.shape
 
-    dt = edt(occ, resolution)
+    if edt_backend == "device":
+        from red_gym_tpu.ops import edt as edt_dev
+
+        dt = np.asarray(edt_dev.edt(jnp.asarray(occ), resolution))
+    else:
+        dt = edt(occ, resolution)
 
     if pad_to is not None:
         ph, pw = pad_to

@@ -1,0 +1,53 @@
+"""On-device EDT parity vs scipy (VERDICT r2 item 10 stretch)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import distance_transform_edt as scipy_edt
+
+from red_gym_tpu.ops import edt as edt_ops
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (64, 64)), (1, (63, 41)),
+                                        (2, (128, 96))])
+def test_edt_matches_scipy_random(seed, shape):
+    rng = np.random.default_rng(seed)
+    img = (rng.random(shape) > 0.05).astype(np.float32)  # sparse walls
+    want = scipy_edt(img)
+    got = np.asarray(edt_ops.edt(jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_edt_resolution_scaling_and_degenerate():
+    img = np.ones((32, 32), np.float32)
+    img[10, 7] = 0.0
+    want = scipy_edt(img) * 0.0625
+    got = np.asarray(edt_ops.edt(jnp.asarray(img), resolution=0.0625))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # occupied pixels read 0
+    assert got[10, 7] == 0.0
+
+
+def test_edt_matches_loader_on_real_map():
+    """The device EDT reproduces the loader's dt texture (native C++ or
+    scipy path) on a packaged track bit-for-bit up to f32 rounding."""
+    import os
+    import jax
+
+    from red_gym_tpu.maps.loader import load_map
+
+    data = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu",
+                        "assets", "data")
+    tmap = load_map(os.path.join(data, "track_wide.yaml"), ".png",
+                    dtype=jnp.float64)
+    from PIL import Image
+    import yaml
+
+    with open(os.path.join(data, "track_wide.yaml")) as f:
+        res = yaml.safe_load(f)["resolution"]
+    img = np.array(Image.open(os.path.join(data, "track_wide.png"))
+                   .transpose(Image.FLIP_TOP_BOTTOM)).astype(np.float64)
+    img = np.where(img > 128.0, 255.0, 0.0)
+    got = np.asarray(edt_ops.edt(jnp.asarray(img), resolution=res))
+    np.testing.assert_allclose(got, np.asarray(tmap.dt), rtol=1e-5,
+                               atol=1e-4)

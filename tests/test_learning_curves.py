@@ -84,3 +84,29 @@ def test_sac_scale_curve_learns():
     assert tail_r > head_r + 0.1, (head_r, tail_r)
     assert (c["done_rate"][-n // 4:].mean()
             < 0.9 * c["done_rate"][: n // 4].mean())
+
+
+def test_bitmap_sac_curve_rises():
+    """Committed artifact of the SAL-parity bitmap pipeline LEARNING at
+    scale (VERDICT r2 item 5): 64 vmapped PlanningEnvs (256x256 FILL
+    bitmaps -> CNN SAC -> MPC-tracked path actions), reward_mode='fixed'
+    (see planning_env docstring for why the reference's world-coord-as-
+    pixel reward cannot train).  Produced by
+
+        python examples/train_sac_bitmap_scale.py --envs 64 --iters 150 \
+            --steps-per-iter 32 --f32 --log-csv docs/media/sac_bitmap_curve.csv
+
+    Gate: mean reward over the last decile of iterations clearly above the
+    first post-warmup decile."""
+    import pytest
+    path = os.path.join(MEDIA, "sac_bitmap_curve.csv")
+    if not os.path.isfile(path):
+        pytest.skip("bitmap-SAC curve artifact not committed on this checkout")
+    curve = _load(path)
+    r = curve["reward_mean"]
+    n = len(r)
+    assert n >= 50, f"curve too short ({n} iters)"
+    head = r[2: 2 + max(3, n // 10)].mean()   # skip random-action warmup
+    tail = r[-max(3, n // 10):].mean()
+    assert tail > head + 0.1, \
+        f"bitmap SAC: reward {head:.3f} -> {tail:.3f}, no clear learning"
