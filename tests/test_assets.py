@@ -74,7 +74,8 @@ def test_map_idx_fast_mode():
     import dataclasses
 
     cfg = dataclasses.replace(CFG, scan_mode="fast", rt_theta_bins=32,
-                              rt_pose_stride=16)
+                              rt_pose_stride=16, rt_occlusion="off",
+                              rt_grad=False)
     yamls = _yamls()[:2]
     params = envlib.make_multimap_params(cfg, yamls)
     poses = _start_poses(yamls)

@@ -78,7 +78,8 @@ def test_shard_params_keeps_range_texture():
     (it silently dropped the rtex field once, crashing fast-mode training
     under a mesh)."""
     cfg = SimConfig(num_agents=1, num_beams=54, dtype="float32",
-                    scan_mode="fast", rt_theta_bins=16, rt_pose_stride=16)
+                    scan_mode="fast", rt_theta_bins=16, rt_pose_stride=16,
+                    rt_occlusion="off", rt_grad=False)
     params = envlib.make_params(cfg, MAP_YAML, ".png")
     assert params.rtex is not None
     mesh = sh.make_env_mesh(8)

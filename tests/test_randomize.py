@@ -13,7 +13,8 @@ from red_gym_tpu import env as envlib, rollout as ro
 
 DATA = os.path.join(os.path.dirname(__file__), "..", "red_gym_tpu", "assets", "data")
 CFG = SimConfig(num_agents=1, num_beams=54, dtype="float64", scan_mode="fast",
-                rt_theta_bins=16, rt_pose_stride=16, scan_noise_std=0.0)
+                rt_theta_bins=16, rt_pose_stride=16, scan_noise_std=0.0,
+                rt_occlusion="off", rt_grad=False)
 
 
 @pytest.mark.slow

@@ -299,11 +299,40 @@ def test_error_contract_sentinel_coarse():
     })
 
 
-def test_texture_disk_cache_roundtrip(tmp_path, setup, monkeypatch):
+def _tiny_tmap(seed=0, n=48):
+    """Small synthetic TrackMap (box walls + random blobs) — the caching
+    logic is map-agnostic, so cache tests need not march the 1600^2
+    example map (was 115 s of the fast lane)."""
+    from scipy.ndimage import distance_transform_edt
+
+    from red_gym_tpu.maps.loader import TrackMap
+
+    rng = np.random.default_rng(seed)
+    occ = np.full((n, n), 255.0)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0.0
+    for _ in range(4):
+        r, c = rng.integers(4, n - 4, 2)
+        occ[r - 1:r + 2, c - 1:c + 2] = 0.0
+    res = 0.25
+    dt = distance_transform_edt(occ) * res
+    z = lambda v: jnp.asarray(v, jnp.float64)
+    return TrackMap(dt=z(dt), occupancy=z(occ), orig_x=z(0.0), orig_y=z(0.0),
+                    orig_c=z(1.0), orig_s=z(0.0), resolution=z(res),
+                    height=jnp.asarray(n, jnp.int32),
+                    width=jnp.asarray(n, jnp.int32))
+
+
+def test_texture_disk_cache_roundtrip(tmp_path, monkeypatch):
     """The marched texture memoizes to disk by content hash: a rebuild with
     the same map+config loads bit-identical arrays; changing the config
-    misses; disabling via env var builds fresh."""
-    tmap, tables, rtex = setup
+    (including the occlusion/grad channel recipe) misses; disabling via
+    env var builds fresh."""
+    import dataclasses
+
+    tmap = _tiny_tmap()
+    monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", "off")
+    fresh = scan_fast.build_range_texture(tmap, CFG)
+
     monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", str(tmp_path))
     r1 = scan_fast.build_range_texture(tmap, CFG)
     files = list(tmp_path.glob("rtex_*.npz"))
@@ -311,18 +340,19 @@ def test_texture_disk_cache_roundtrip(tmp_path, setup, monkeypatch):
     r2 = scan_fast.build_range_texture(tmap, CFG)   # cache hit
     np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(r2.rt))
     np.testing.assert_array_equal(np.asarray(r1.valid), np.asarray(r2.valid))
-    # matches the uncached fixture build too
-    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(rtex.rt))
+    # matches the cache-disabled build too
+    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(fresh.rt))
 
-    import dataclasses
     cfg2 = dataclasses.replace(CFG, rt_theta_bins=16)
     scan_fast.build_range_texture(tmap, cfg2)
     assert len(list(tmp_path.glob("rtex_*.npz"))) == 2, "config change must miss"
 
-    monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", "off")
-    r3 = scan_fast.build_range_texture(tmap, CFG)
-    np.testing.assert_array_equal(np.asarray(r1.rt), np.asarray(r3.rt))
-    assert len(list(tmp_path.glob("rtex_*.npz"))) == 2
+    # channel-recipe change (edge/grad) must also miss — stale single-
+    # channel entries would break the runtime layout assert
+    cfg3 = dataclasses.replace(CFG, rt_occlusion="edge", rt_grad=True)
+    r4 = scan_fast.build_range_texture(tmap, cfg3)
+    assert len(list(tmp_path.glob("rtex_*.npz"))) == 3
+    assert r4.rt.shape[-1] == 5 * CFG.rt_theta_bins
 
 
 def test_nearest_spatial_mode(setup):

@@ -103,6 +103,7 @@ def test_vec_env_multi_map():
     env = VecF110Env(maps, num_envs=4, num_agents=1, num_beams=54,
                      dtype="float64", scan_mode="fast", rt_theta_bins=16,
                      rt_pose_stride=16, scan_noise_std=0.0,
+                     rt_occlusion="off", rt_grad=False,
                      map_idx=np.array([0, 1, 0, 1]))
     obs, *_ = env.reset(poses)
     scans = np.asarray(obs["scans"])

@@ -68,7 +68,7 @@ def test_update_map_rebuilds_range_texture():
 
     env = F110Env(map=MAP_YAML, map_ext=".png", num_agents=1, num_beams=54,
                   dtype="float64", scan_mode="fast", rt_theta_bins=16,
-                  rt_pose_stride=16)
+                  rt_pose_stride=16, rt_occlusion="off", rt_grad=False)
     rt_before = env.params.rtex.rt
     env.update_map("/root/reference/gym/f110_gym/envs/maps/berlin.yaml", ".png")
     assert env.params.rtex.rt.shape != rt_before.shape or \
