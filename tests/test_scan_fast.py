@@ -532,3 +532,37 @@ def test_channel_mismatch_raises(setup, setup_edge):
         scan_fast.trace_fast_mxu(poses, tables, tmap, rtex_off, CFG_EDGE)
     with pytest.raises(AssertionError, match="channels"):
         scan_fast.trace_fast(poses, tables, tmap, rtex_edge, CFG)
+
+
+def test_edge_channels_with_stacked_maps():
+    """Map-STACKED textures carry the edge/grad channels per map: tracing
+    with midx=i equals tracing the unstacked texture of map i (the flat-row
+    offset indexing must stride by C*T rows correctly)."""
+    import jax
+
+    maps = [_tiny_tmap(seed=3, n=40), _tiny_tmap(seed=4, n=40)]
+    cfg = SimConfig(num_agents=1, num_beams=90, dtype="float64",
+                    scan_mode="fast", rt_theta_bins=32, rt_pose_stride=2,
+                    rt_occlusion="edge", rt_grad=True)
+    tables = scan_ops.build_tables(cfg, 0.31, 0.58, dtype=jnp.float64)
+    rtexs = [scan_fast.build_range_texture(m, cfg) for m in maps]
+    stacked_rt = scan_fast.stack_textures(rtexs)
+    from red_gym_tpu.maps.loader import stack_maps
+    stacked_map = stack_maps(maps)
+
+    rng = np.random.default_rng(9)
+    for i, (m, rt) in enumerate(zip(maps, rtexs)):
+        poses = []
+        dt_np = np.asarray(m.dt)
+        while len(poses) < 5:
+            r, c = rng.integers(0, 40, 2)
+            if dt_np[r, c] > 0.6:
+                poses.append([c * 0.25 + 0.125, r * 0.25 + 0.125,
+                              rng.uniform(0, 2 * np.pi)])
+        poses = jnp.asarray(poses)
+        want = np.asarray(scan_fast.trace_fast_mxu(poses, tables, m, rt, cfg))
+        got = np.asarray(jax.vmap(
+            lambda p: scan_fast.trace_fast_mxu(
+                p, tables, stacked_map, stacked_rt, cfg,
+                midx=jnp.asarray(i, jnp.int32)))(poses))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
