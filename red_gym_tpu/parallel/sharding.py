@@ -49,10 +49,13 @@ def shard_params(mesh: Mesh, params: EnvParams, map_axis: Optional[int] = None,
     vehicle = replicate(mesh, params.vehicle)
     tables = replicate(mesh, params.tables)
     rtex = None if params.rtex is None else replicate(mesh, params.rtex)
+    pool = None if params.noise_pool is None \
+        else replicate(mesh, params.noise_pool)
     if map_axis is None:
         tmap = replicate(mesh, params.tmap)
     else:
         tmap = TrackMap(*[jax.device_put(getattr(params.tmap, f),
                                          NamedSharding(mesh, P(axis)))
                           for f in TrackMap._fields])
-    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex)
+    return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
+                     noise_pool=pool)

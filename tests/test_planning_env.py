@@ -95,3 +95,40 @@ def test_collision_angle_penalty_range():
     assert -1.0 <= p <= 0.0 and p < 0.0  # colliding -> negative penalty
     p2 = float(br.collision_angle_penalty(jnp.asarray(img), 20, 128))
     assert p2 == 0.0
+
+
+def test_fixed_reward_mode():
+    """reward_mode='fixed' (round 3): collision penalty tracks the env's
+    TRUE collision flag (not the reference's world-coord-as-pixel probe
+    that fires once the car leaves the world origin) and the centering
+    probe reads beside the drawn car marker, so an on-track car is not
+    scored -1."""
+    import jax
+
+    params = envlib.make_params(CFG, MAP_YAML, ".png")
+    env_sal = pe.PlanningEnv(CFG, params, reward_mode="sal")
+    env_fix = pe.PlanningEnv(CFG, params, reward_mode="fixed")
+    pose = jnp.asarray([[0.7, 0.0, 1.37079632679]])
+    key = jax.random.PRNGKey(0)
+    act = jnp.zeros((pe.ACTION_DIM,), jnp.float32)
+
+    ps_s = env_sal.reset(pose, key)
+    ps_f = env_fix.reset(pose, key)
+    step_s = jax.jit(env_sal.step)
+    step_f = jax.jit(env_fix.step)
+    r_sal = r_fix = 0.0
+    for _ in range(12):
+        ps_s, _, rs, _, _ = step_s(ps_s, act)
+        ps_f, _, rf, _, _ = step_f(ps_f, act)
+        r_sal += float(rs)
+        r_fix += float(rf)
+    # reference quirk mode: the -100 collision penalty dominates (the car
+    # starts 0.7 m from the world origin, already outside the probe square)
+    assert r_sal < -500, r_sal
+    # fixed mode: no env collision -> no -100s; centering is a valid
+    # in-lane reading, not the off-track -1
+    assert r_fix > -10, r_fix
+    assert not bool(ps_f.obs.collisions[0] > 0)
+
+    with __import__("pytest").raises(ValueError):
+        pe.PlanningEnv(CFG, params, reward_mode="bogus")
