@@ -46,13 +46,30 @@ START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
                   for i in range(N_AGENTS)])
 
 
+_MODE_LABELS = {
+    "default": "library default: fast/nearest1/linear + edge/grad channels",
+    "ultra": "ultra: fast/nearest1/spectral (pre-r3 error class)",
+    "t256": "default @ rt_theta_bins=256 (accuracy knob)",
+    "legacy": "pre-r3 default: bilinear/linear, no channels",
+    "bilinear": "bilinear/linear + edge/grad channels",
+    "pool": "library default + noise_mode=pool",
+}
+
+
 def make_cfg(mode: str) -> SimConfig:
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
                     scan_mode="fast")
-    if mode == "ultra":
-        cfg = dataclasses.replace(cfg, scan_interp="spectral")
-    return cfg
+    mut = {
+        "default": {},
+        "ultra": dict(scan_interp="spectral"),
+        "t256": dict(rt_theta_bins=256),
+        "legacy": dict(rt_occlusion="off", rt_grad=False,
+                       rt_spatial="bilinear"),
+        "bilinear": dict(rt_spatial="bilinear"),
+        "pool": dict(noise_mode="pool"),
+    }[mode]
+    return dataclasses.replace(cfg, **mut)
 
 
 def measure(cfg: SimConfig) -> float:
@@ -100,9 +117,7 @@ def main():
     for mode in MODES:
         cfg = make_cfg(mode)
         rate = measure(cfg)
-        label = ("library default: fast/nearest1/linear + edge/grad channels"
-                 if mode == "default" else
-                 "ultra: fast/nearest1/spectral (pre-r3 error class)")
+        label = _MODE_LABELS[mode]
         print(json.dumps({
             "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam "
                       f"lidar, {N_ENVS} envs, {label}, 1 chip)",
