@@ -73,6 +73,30 @@ def main():
     out = os.path.join(HERE, "ppo_learning_curves.png")
     fig.savefig(out, dpi=140, facecolor=SURFACE)
     print("wrote", out)
+    plot_bitmap_sac()
+
+
+def plot_bitmap_sac():
+    """Render sac_bitmap_curve.png when the bitmap-SAC artifact exists
+    (examples/train_sac_bitmap_scale.py --log-csv)."""
+    runs = load("sac_bitmap_curve.csv")
+    if not runs:
+        return
+    r = runs[0]
+    fig, ax = plt.subplots(figsize=(5.4, 3.6), facecolor=SURFACE)
+    ax.set_facecolor(SURFACE)
+    ax.plot(r["env_steps"] / 1e3, r["reward_mean"], color="#2a78d6", lw=1.6)
+    ax.set_title("Bitmap SAC (64 vmapped PlanningEnvs): mean step reward",
+                 color=TEXT, fontsize=10, loc="left")
+    ax.set_xlabel("env steps (thousands)", color=TEXT2, fontsize=9)
+    ax.tick_params(colors=TEXT2, labelsize=8)
+    ax.grid(True, color=GRID, lw=0.6)
+    for s in ax.spines.values():
+        s.set_color(GRID)
+    fig.tight_layout()
+    out = os.path.join(HERE, "sac_bitmap_curve.png")
+    fig.savefig(out, dpi=140, facecolor=SURFACE)
+    print("wrote", out)
 
 
 if __name__ == "__main__":
