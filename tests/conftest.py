@@ -21,6 +21,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: the fast lane is compile-dominated on a
+# small CI box (~100 jitted programs); repeat runs skip recompilation.
+# Harmless when unsupported — jax ignores cache misses/failures silently.
+try:
+    _cc = os.environ.get(
+        "RED_GYM_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "red_gym_tpu",
+                     "jaxcache"))
+    if _cc.lower() not in ("0", "off", "none", ""):
+        jax.config.update("jax_compilation_cache_dir", _cc)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:      # older jax without some knobs: best effort only
+    pass
+
 import pytest  # noqa: E402
 
 
