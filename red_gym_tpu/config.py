@@ -148,14 +148,17 @@ class SimConfig:
     scan_mode: str = "exact"
     rt_theta_bins: int = 128      # angular bins of the range texture
     rt_pose_stride: int = 2       # texture cell = stride * map resolution
-    # fast-scan epilogue backend.  "xla" (default): plain jnp — XLA fuses the
-    # blend into downstream consumers (noise/iTTC/policy), measured ~8%
-    # faster end-to-end.  "pallas": the fused shuffle-matmul kernel
-    # (ops/pallas_scan.py) — faster in isolation (no (.., 3B) HBM
-    # intermediate) but an optimization barrier for the consumers; use it
-    # when the scan output feeds a matmul directly.  "auto" = "xla" on
-    # today's measurements.
-    scan_backend: str = "xla"
+    # fast-scan epilogue backend.  "auto" (default): on TPU, edge mode uses
+    # the fused Pallas epilogue (ops/pallas_scan.py) — the edge pipeline's
+    # (rows, 3, 3B) tap intermediate costs ~1.3 GB/step of HBM traffic at
+    # 16k 2-agent envs in plain XLA, measured 3x slower end-to-end; the
+    # kernel keeps the taps in VMEM and writes only the rendered scan.
+    # Everywhere else "auto" = "xla": there the tail is cheap and XLA fuses
+    # it into the scan's consumers (noise/iTTC/policy), where the Pallas
+    # call was measured ~8% slower as a fusion barrier.  Explicit
+    # "xla"/"pallas" override ("pallas" supports eff_occlusion "off" and
+    # "edge", not "snap").
+    scan_backend: str = "auto"
     # fast-scan theta interpolation.  "linear" (default): exact linear lerp
     # between theta bins (matches trace_fast).  "spectral": the full real-
     # valued roll goes into the DFT phase and beams are evaluated by one
@@ -242,12 +245,11 @@ class SimConfig:
         if self.rt_occlusion not in ("off", "snap", "edge"):
             raise ValueError(f"rt_occlusion must be 'off'|'snap'|'edge', got "
                              f"{self.rt_occlusion!r}")
-        if self.scan_backend == "pallas" and (
-                self.rt_eff_occlusion != "off" or self.rt_grad):
+        if self.scan_backend == "pallas" and self.rt_eff_occlusion == "snap":
             raise ValueError(
-                "scan_backend='pallas' supports only rt_occlusion='off' (or "
-                "scan_interp='spectral') with rt_grad=False; the fused "
-                "epilogue kernel has no aux-channel path")
+                "scan_backend='pallas' supports rt_occlusion 'off' and "
+                "'edge' (or scan_interp='spectral'); the fused epilogue "
+                "kernel has no snap path")
         if self.num_agents < 1 or self.num_beams < 2:
             raise ValueError("need num_agents >= 1 and num_beams >= 2")
         if self.ego_idx < 0 or self.ego_idx >= self.num_agents:

@@ -363,12 +363,22 @@ def batch_axes(axis: int = 0) -> "RangeTexture":
 
 
 def _use_pallas(cfg: SimConfig) -> bool:
-    # "auto" currently resolves to the XLA path: A/B on the full env step
-    # showed the fused Pallas epilogue ~8% slower end-to-end because it acts
-    # as a fusion barrier for the scan's elementwise consumers (see
-    # docs/performance.md).  It remains selectable for pipelines that feed
-    # the scan straight into a matmul.
-    return cfg.scan_backend == "pallas"
+    # "auto": edge mode resolves to the fused Pallas epilogue ON TPU — the
+    # edge pipeline's (rows, 3, 3B) XLA intermediate costs ~1.3 GB/step of
+    # HBM traffic at 16k 2-agent envs (measured 3x slower end-to-end than
+    # spectral); the kernel keeps all taps in VMEM.  For eff_occ="off" the
+    # XLA tail is cheap and fuses into the scan's consumers, where the
+    # Pallas call was measured ~8% slower as a fusion barrier (see
+    # docs/performance.md) — "auto" keeps XLA there.  Trace-time backend
+    # dispatch: which path compiles depends on the machine tracing it,
+    # like any other cfg field.
+    if cfg.scan_backend == "pallas":
+        return True
+    if cfg.scan_backend == "auto":
+        import jax as _jax
+        return (cfg.rt_eff_occlusion == "edge"
+                and _jax.default_backend() == "tpu")
+    return False
 
 
 def _compute_dtype(rtex: RangeTexture):
@@ -620,11 +630,20 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     c_frac = jnp.mod(tables.scan_angles * (t_bins / two_pi), 1.0).astype(dtype)
 
     if _use_pallas(cfg):
-        # fused shuffle-matmul + blend: the (..., 3B) intermediate never
-        # touches HBM (ops/pallas_scan.py); config validation guarantees
-        # eff_occ == "off" and rt_grad == False here (unstacked spec_r)
         from red_gym_tpu.ops import pallas_scan
 
+        if e_b is not None:
+            # edge mode: shuffle matmuls + parallax-ramp render fused in
+            # VMEM; the (..., 3, 3B) tap intermediate never touches HBM
+            batch = spec_r.shape[:-2]
+            out = pallas_scan.theta_shuffle_blend_edge(
+                spec_r[..., 0, :].reshape((-1, t_bins)),
+                spec_r[..., 1, :].reshape((-1, t_bins)),
+                spec_r[..., 2, :].reshape((-1, t_bins)),
+                f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
+                rtex.gmat, c_frac, cfg.max_range)
+            return out.reshape(batch + (b_n,))
+        # plain 3-tap blend: the (..., 3B) intermediate never touches HBM
         batch = spec_r.shape[:-1]
         out = pallas_scan.theta_shuffle_blend(
             spec_r.reshape((-1, t_bins)), f_s.reshape((-1,)),

@@ -479,6 +479,35 @@ def test_edge_mode_variants_agree(setup_edge, spatial):
     np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-7)
 
 
+def test_pallas_edge_epilogue_matches_xla(setup_edge):
+    """The fused edge kernel (interpret mode off TPU) matches the XLA edge
+    path, including under vmap.  The kernel's e/w channel matmuls run in
+    bfloat16 (2^-8 relative on ~[0,1] channels, below the 2^-6-bin build
+    precision of the e channel), so a beam whose frac falls inside the
+    bf16-shifted ramp window can legitimately land on the other side of a
+    hard visibility edge: the bulk is gated tightly and the flipped
+    fraction separately."""
+    import dataclasses
+
+    tmap, tables, rtex = setup_edge
+    cfg_x = dataclasses.replace(CFG_EDGE, scan_backend="xla")
+    cfg_p = dataclasses.replace(CFG_EDGE, scan_backend="pallas")
+    poses = _free_poses(tmap, 10, seed=29)
+    a = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_x))
+    b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_p))
+    err = np.abs(a - b)
+    cell = float(rtex.cell)
+    assert np.quantile(err, 0.99) < 0.5 * cell, f"p99 {np.quantile(err, 0.99)}"
+    assert np.mean(err > 4 * cell) < 2e-3, f"flips {np.mean(err > 4 * cell)}"
+
+    # vmapped composition (custom_vmap collapses batch axes into rows)
+    pv = poses.reshape(5, 2, 3)
+    f_p = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_p)))
+    bv = np.asarray(f_p(pv)).reshape(10, -1)
+    np.testing.assert_allclose(bv, b, rtol=1e-6, atol=1e-6)
+
+
 def test_snap_mode_variants_agree(setup):
     """rt_occlusion='snap' needs no extra channels and the two variants
     agree (the plain single-channel texture serves it)."""
@@ -512,12 +541,12 @@ def test_edge_mode_cuts_occlusion_tail(setup_edge):
     assert np.mean(err_edge > 4 * cell) < np.mean(err_off > 4 * cell)
 
 
-def test_pallas_rejects_edge_mode():
+def test_pallas_rejects_snap_mode():
     with pytest.raises(ValueError, match="pallas"):
-        SimConfig(scan_backend="pallas", rt_occlusion="edge", rt_grad=False)
-    with pytest.raises(ValueError, match="pallas"):
-        SimConfig(scan_backend="pallas", rt_occlusion="off", rt_grad=True)
-    # spectral neutralizes the occlusion setting -> allowed with grad off
+        SimConfig(scan_backend="pallas", rt_occlusion="snap")
+    # off and edge both have fused kernels; spectral neutralizes occlusion
+    SimConfig(scan_backend="pallas", rt_occlusion="edge", rt_grad=True)
+    SimConfig(scan_backend="pallas", rt_occlusion="off", rt_grad=True)
     SimConfig(scan_backend="pallas", scan_interp="spectral",
               rt_occlusion="edge", rt_grad=False)
 
