@@ -28,6 +28,7 @@ def test_edt_resolution_scaling_and_degenerate():
     assert got[10, 7] == 0.0
 
 
+@pytest.mark.slow  # stretch feature (device EDT); full lane
 def test_edt_matches_loader_on_real_map():
     """The device EDT reproduces the loader's dt texture (native C++ or
     scipy path) on a packaged track bit-for-bit up to f32 rounding."""

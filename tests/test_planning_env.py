@@ -97,6 +97,7 @@ def test_collision_angle_penalty_range():
     assert p2 == 0.0
 
 
+@pytest.mark.slow  # trains a few hundred env steps; full lane
 def test_fixed_reward_mode():
     """reward_mode='fixed' (round 3): collision penalty tracks the env's
     TRUE collision flag (not the reference's world-coord-as-pixel probe

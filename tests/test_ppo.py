@@ -76,6 +76,7 @@ def test_custom_reward_fn_changes_learning_signal(setup):
     assert float(m["default"]["reward_mean"]) != pytest.approx(1.0)
 
 
+@pytest.mark.slow  # multi-map PPO composition; full lane
 def test_multimap_pursuit_opponents_per_track(setup):
     """pure_pursuit_opponents_multi picks each env's raceline by map_idx:
     two envs at the same pose but different map indices get different

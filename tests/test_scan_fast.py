@@ -355,6 +355,7 @@ def test_texture_disk_cache_roundtrip(tmp_path, monkeypatch):
     assert r4.rt.shape[-1] == 5 * CFG.rt_theta_bins
 
 
+@pytest.mark.slow  # ablation-only spatial mode; full lane covers it
 def test_nearest_spatial_mode(setup):
     """rt_spatial='nearest' (single best cell, one-hot blend): the MXU and
     gather variants agree, and ranges stay within the coarse-texture error
@@ -465,7 +466,10 @@ def test_edge_texture_channels(setup_edge):
     assert np.all(rt[~valid] == 0.0)
 
 
-@pytest.mark.parametrize("spatial", ["nearest1", "bilinear"])
+@pytest.mark.parametrize("spatial", [
+    "nearest1",
+    pytest.param("bilinear", marks=pytest.mark.slow),  # non-default spatial
+])
 def test_edge_mode_variants_agree(setup_edge, spatial):
     """trace_fast (element gather) == trace_fast_mxu (matmul pipeline) in
     the full edge+grad configuration, both spatial modes."""
@@ -563,6 +567,7 @@ def test_channel_mismatch_raises(setup, setup_edge):
         scan_fast.trace_fast(poses, tables, tmap, rtex_edge, CFG)
 
 
+@pytest.mark.slow  # multi-map x edge-channel composition; full lane
 def test_edge_channels_with_stacked_maps():
     """Map-STACKED textures carry the edge/grad channels per map: tracing
     with midx=i equals tracing the unstacked texture of map i (the flat-row
