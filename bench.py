@@ -56,6 +56,36 @@ _MODE_LABELS = {
 }
 
 
+def _pallas_preflight() -> bool:
+    """True iff the fused edge kernel executes on this backend.
+
+    The edge modes dispatch to a Mosaic kernel on TPU (scan_backend
+    "auto"); a relay/toolchain that cannot run Mosaic would HANG the
+    bench, so probe it once in a killable subprocess and fall back to the
+    plain-XLA epilogue (slower, honestly labeled) if it fails."""
+    import subprocess
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+r = np.random.default_rng(0); K, T, B = 256, 128, 1080
+out = pallas_scan.theta_shuffle_blend_edge(
+    *(jnp.asarray(r.normal(size=(K, T)), jnp.float32) for _ in range(3)),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
+    jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,)), jnp.float32), 30.0)
+print("PALLAS_OK", float(jnp.sum(out)), flush=True)
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           timeout=600, capture_output=True, text=True)
+        return r.returncode == 0 and "PALLAS_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def make_cfg(mode: str) -> SimConfig:
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
@@ -114,10 +144,17 @@ def measure(cfg: SimConfig) -> float:
 
 
 def main():
+    edge_modes = {"default", "t256", "bilinear", "pool"}
+    need_probe = (jax.default_backend() == "tpu"
+                  and any(m in edge_modes for m in MODES))
+    pallas_ok = _pallas_preflight() if need_probe else True
     for mode in MODES:
         cfg = make_cfg(mode)
-        rate = measure(cfg)
         label = _MODE_LABELS[mode]
+        if mode in edge_modes and need_probe and not pallas_ok:
+            cfg = dataclasses.replace(cfg, scan_backend="xla")
+            label += " [xla fallback: pallas unavailable]"
+        rate = measure(cfg)
         print(json.dumps({
             "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam "
                       f"lidar, {N_ENVS} envs, {label}, 1 chip)",

@@ -1,0 +1,99 @@
+"""Staged TPU-relay probe: plain XLA -> tiny Mosaic kernel -> edge kernel.
+
+The axon-relayed chip can wedge on a hung device call, taking the whole
+relay down with it; before benching a new Pallas kernel, establish in
+ORDER (each stage in a fresh subprocess under its own timeout) that:
+
+  1. a plain XLA op executes            (relay alive at all)
+  2. a trivial Pallas kernel executes   (Mosaic compile+run through relay)
+  3. the fused edge epilogue executes on a micro shape
+  4. one full default-mode env step executes at a small batch
+
+Usage: python tools/probe_pallas.py  — prints one PASS/FAIL line per stage
+and stops at the first failure (so a hang never cascades).
+"""
+
+import os
+import subprocess
+import sys
+
+STAGES = {
+    "xla": """
+import jax, jax.numpy as jnp
+print("PASS xla", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
+""",
+    "pallas-tiny": """
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+def k(x_ref, o_ref):
+    o_ref[:] = x_ref[:] * 2.0
+x = jnp.ones((8, 128), jnp.float32)
+y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                   out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
+print("PASS pallas-tiny", float(jnp.sum(y)), flush=True)
+""",
+    "pallas-edge": """
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B = 512, 128, 1080
+out = pallas_scan.theta_shuffle_blend_edge(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,)), jnp.float32), 30.0)
+print("PASS pallas-edge", float(jnp.sum(out)), out.shape, flush=True)
+""",
+    "env-step-default": """
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.config import Integrator, SimConfig
+from red_gym_tpu import env as envlib
+from red_gym_tpu.assets import example_map_yaml
+cfg = SimConfig(num_agents=2, num_beams=1080, timestep=0.01,
+                integrator=Integrator.RK4, dtype="float32", scan_mode="fast")
+params = envlib.make_params(cfg, example_map_yaml(), ".png")
+poses = jnp.tile(jnp.asarray([[0.7, 0.0, 1.37], [0.7, -1.0, 1.37]],
+                             jnp.float32), (256, 1, 1))
+states = jax.jit(jax.vmap(lambda p, k: envlib.init_state(cfg, p, k)))(
+    poses, jax.random.split(jax.random.PRNGKey(0), 256))
+act = jnp.tile(jnp.asarray([[0.05, 3.0], [-0.05, 2.0]], jnp.float32),
+               (256, 1, 1))
+step = jax.jit(jax.vmap(lambda s, a: envlib.step(cfg, params, s, a)))
+s, obs, *_ = step(states, act)
+print("PASS env-step-default", float(jnp.sum(obs.scans)), flush=True)
+""",
+}
+
+
+def main():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    timeouts = {"xla": 120, "pallas-tiny": 300, "pallas-edge": 420,
+                "env-step-default": 600}
+    for name, code in STAGES.items():
+        try:
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               timeout=timeouts[name],
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"FAIL {name}: TIMEOUT after {timeouts[name]}s", flush=True)
+            return 1
+        if r.returncode != 0 or "PASS" not in r.stdout:
+            print(f"FAIL {name}: rc={r.returncode}\n{r.stderr[-800:]}",
+                  flush=True)
+            return 1
+        print(r.stdout.strip().splitlines()[-1], flush=True)
+    print("ALL STAGES PASS", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
