@@ -92,7 +92,11 @@ def make_cfg(mode: str) -> SimConfig:
                     scan_mode="fast")
     mut = {
         "default": {},
-        "ultra": dict(scan_interp="spectral"),
+        # the r2-headline throughput mode: spectral interpolation on a
+        # single-channel texture (grad channels triple the row-gather width
+        # for an error class spectral doesn't exploit: 5.68M -> 5.11M)
+        "ultra": dict(scan_interp="spectral", rt_grad=False,
+                      rt_occlusion="off"),
         "t256": dict(rt_theta_bins=256),
         "legacy": dict(rt_occlusion="off", rt_grad=False,
                        rt_spatial="bilinear"),
