@@ -215,6 +215,15 @@ class SimConfig:
     # any interpolation — "nearest1" reaches bilinear-class accuracy from a
     # single row gather; bilinear gains second-order accuracy.
     rt_grad: bool = True
+    # dtype of the edge-channel (e, w) shuffle matmul + intermediate in the
+    # XLA edge epilogue.  The (e, w) channels are sub-bin edge positions and
+    # widths in [0, 1]; a bfloat16 ulp there (~2^-9) moves the rendered ramp
+    # by <0.2% of a theta bin — far inside the edge channel's own bisection
+    # precision (rt_edge_iters) — while halving the tap-intermediate HBM
+    # bytes, the measured bottleneck of the XLA edge path.  "auto": bfloat16
+    # when tracing for TPU, float32 elsewhere (CPU matmuls have no fast
+    # bf16 path).  Irrelevant to the Pallas backend (taps live in VMEM).
+    rt_ew_dtype: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -239,6 +248,9 @@ class SimConfig:
         if self.rt_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(f"rt_dtype must be 'auto'|'float32'|'bfloat16', "
                              f"got {self.rt_dtype!r}")
+        if self.rt_ew_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(f"rt_ew_dtype must be 'auto'|'float32'|"
+                             f"'bfloat16', got {self.rt_ew_dtype!r}")
         if self.noise_mode not in ("fresh", "pool"):
             raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
                              f"{self.noise_mode!r}")

@@ -650,10 +650,34 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
             wsum[..., 0].reshape((-1,)), rtex.gmat, c_frac, cfg.max_range)
         return out.reshape(batch + (b_n,))
 
-    g = jnp.matmul(spec_r, rtex.gmat,
-                   preferred_element_type=dtype)                # (..., [3,] 3B)
     if e_b is not None:
-        g, g_e, g_w = g[..., 0, :], g[..., 1, :], g[..., 2, :]
+        # The edge render only ever selects taps 0/1 of the (e, w) channels
+        # (the active pair's LEFT bin: `jnp.where(lt, g_e[:B], g_e[B:2B])`
+        # below), so their shuffle matmul is narrowed to gmat's first 2B
+        # columns, and — per rt_ew_dtype — runs in bfloat16: together this
+        # cuts the post-shuffle tap intermediate from 9B f32 columns to
+        # 3B f32 + 4B bf16, the dominant HBM cost of the XLA edge path
+        # (~1.3 GB/step at 16k 2-agent envs measured all-f32/3x3B).
+        ew_dtype = dtype
+        if cfg.rt_ew_dtype == "bfloat16":
+            ew_dtype = jnp.bfloat16
+        elif cfg.rt_ew_dtype == "auto":
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                ew_dtype = jnp.bfloat16
+        g = jnp.matmul(spec_r[..., 0, :], rtex.gmat,
+                       preferred_element_type=dtype)            # (..., 3B)
+        g_ew = jnp.matmul(spec_r[..., 1:, :].astype(ew_dtype),
+                          rtex.gmat[:, :2 * b_n].astype(ew_dtype),
+                          preferred_element_type=dtype)
+        # store the intermediate at ew_dtype (the convert fuses into the
+        # matmul epilogue); consumers upcast on read
+        g_ew = g_ew.astype(ew_dtype)
+        g_e = g_ew[..., 0, :].astype(dtype)                     # (..., 2B)
+        g_w = g_ew[..., 1, :].astype(dtype)
+    else:
+        g = jnp.matmul(spec_r, rtex.gmat,
+                       preferred_element_type=dtype)            # (..., 3B)
     g0, g1, g2 = g[..., :b_n], g[..., b_n:2 * b_n], g[..., 2 * b_n:]
 
     alpha = f_s[..., None] + c_frac                              # (..., B) in [0,2)

@@ -296,6 +296,11 @@ def test_error_contract_sentinel_coarse():
     0.5 m cell."""
     _run_contract(stride=8, gates={
         "default": ({}, (0.35, 1.0, 3.2, 0.32, 0.05)),
+        # the TPU XLA-fallback numerics: (e, w) shuffle matmul +
+        # intermediate in bfloat16 (rt_ew_dtype docstring) — a bf16 ulp
+        # moves the ramp by <0.2% of a bin, so the gates are identical
+        "ew_bf16": ({"rt_ew_dtype": "bfloat16"},
+                    (0.35, 1.0, 3.2, 0.32, 0.05)),
     })
 
 
