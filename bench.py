@@ -86,6 +86,27 @@ print("PALLAS_OK", float(jnp.sum(out)), flush=True)
         return False
 
 
+def _device_preflight() -> bool:
+    """True iff the backend executes a tiny op at all.
+
+    The axon TPU relay has been observed to die hard (backend init hangs
+    forever in fresh processes); without this probe the whole bench would
+    hang instead of reporting.  Probe in a killable subprocess."""
+    import subprocess
+
+    code = ("from red_gym_tpu.utils import platform as p; p.apply(); "
+            "import jax, jax.numpy as jnp; "
+            "print('DEV_OK', float(jnp.sum(jnp.ones((8, 8)))), flush=True)")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           timeout=600, capture_output=True, text=True)
+        return r.returncode == 0 and "DEV_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def make_cfg(mode: str) -> SimConfig:
     cfg = SimConfig(num_agents=N_AGENTS, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
@@ -148,6 +169,18 @@ def measure(cfg: SimConfig) -> float:
 
 
 def main():
+    if not _device_preflight():
+        # the backend cannot run even a tiny op (dead relay): report
+        # honestly instead of hanging the driver
+        print(json.dumps({
+            "metric": "env-steps/s aggregate (UNMEASURED: device backend "
+                      "unreachable — tiny-op preflight hung/failed; see "
+                      "BENCH_r02.json for the last hardware measurement)",
+            "value": 0.0,
+            "unit": "env-steps/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        return
     edge_modes = {"default", "t256", "bilinear", "pool"}
     need_probe = (jax.default_backend() == "tpu"
                   and any(m in edge_modes for m in MODES))
