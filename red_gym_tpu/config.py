@@ -224,6 +224,14 @@ class SimConfig:
     # when tracing for TPU, float32 elsewhere (CPU matmuls have no fast
     # bf16 path).  Irrelevant to the Pallas backend (taps live in VMEM).
     rt_ew_dtype: str = "auto"
+    # fuse the scan's elementwise CONSUMERS (per-env sensor-noise add +
+    # wall-iTTC check) into the Pallas edge epilogue: the env step reads
+    # the noisy scan and the per-agent hit flag out of ONE kernel instead
+    # of XLA writing the noisy (E, A, B) scan and re-reading it for iTTC
+    # (~2 extra full passes of a ~135 MB tensor at 16k 2-agent envs).
+    # "on" requires the Pallas edge path (see ops/scan_fast.use_fused_ttc);
+    # "auto" currently resolves to off pending on-chip A/B measurement.
+    fuse_scan_ttc: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -251,6 +259,9 @@ class SimConfig:
         if self.rt_ew_dtype not in ("auto", "float32", "bfloat16"):
             raise ValueError(f"rt_ew_dtype must be 'auto'|'float32'|"
                              f"'bfloat16', got {self.rt_ew_dtype!r}")
+        if self.fuse_scan_ttc not in ("auto", "on", "off"):
+            raise ValueError(f"fuse_scan_ttc must be 'auto'|'on'|'off', got "
+                             f"{self.fuse_scan_ttc!r}")
         if self.noise_mode not in ("fresh", "pool"):
             raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
                              f"{self.noise_mode!r}")

@@ -219,22 +219,36 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     # reproducing the reference's identical-seed-per-car quirk
     # (base_classes.py:117,202).
     rng, sub = jax.random.split(state.rng)
-    if cfg.scan_mode == "fast":
+
+    def _noise_row(dtype):
+        if cfg.noise_mode == "pool" and params.noise_pool is not None:
+            # one row pick per env per step: contiguous fetch, no fresh
+            # transcendentals (see SimConfig.noise_mode)
+            r = jax.random.randint(sub, (), 0, cfg.noise_pool_rows)
+            return jnp.take(params.noise_pool, r, axis=0).astype(dtype)
+        return cfg.scan_noise_std * jax.random.normal(
+            sub, (cfg.num_beams,), dtype=dtype)
+
+    ttc_hit = None
+    if cfg.scan_mode == "fast" and scan_fast.use_fused_ttc(cfg):
+        # noise add + wall-iTTC fused into the scan epilogue kernel
+        # (SimConfig.fuse_scan_ttc); same RNG stream, same semantics as the
+        # unfused path below — iTTC sees the noisy pre-opponent scan
+        dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
+        noise = (_noise_row(dt) if cfg.scan_noise_std > 0
+                 else jnp.zeros((cfg.num_beams,), dt))
+        scans, hit01 = scan_fast.trace_fast_mxu(
+            poses, params.tables, params.tmap, params.rtex, cfg,
+            midx=state.map_idx, fused_ttc=(noise, xt[3]))
+        ttc_hit = (hit01 > 0) & (xt[3] != 0.0)
+    elif cfg.scan_mode == "fast":
         scans = scan_fast.trace_fast_mxu(poses, params.tables, params.tmap,
                                          params.rtex, cfg, midx=state.map_idx)
     else:
         scans = scan_ops.trace(poses, params.tables, params.tmap, cfg,
                                midx=state.map_idx)
-    if cfg.scan_noise_std > 0:
-        if cfg.noise_mode == "pool" and params.noise_pool is not None:
-            # one row pick per env per step: contiguous fetch, no fresh
-            # transcendentals (see SimConfig.noise_mode)
-            r = jax.random.randint(sub, (), 0, cfg.noise_pool_rows)
-            noise = jnp.take(params.noise_pool, r, axis=0).astype(scans.dtype)
-        else:
-            noise = cfg.scan_noise_std * jax.random.normal(
-                sub, (cfg.num_beams,), dtype=scans.dtype)
-        scans = scans + noise[None, :]
+    if ttc_hit is None and cfg.scan_noise_std > 0:
+        scans = scans + _noise_row(scans.dtype)[None, :]
 
     # pairwise body collision (base_classes.py:529-543) — rectangle SAT
     # straight from poses (vertices are still built for the opponent ray
@@ -245,8 +259,11 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         poses, p.length, p.width).astype(x.dtype)
 
     # iTTC against walls -> freeze dynamic state (base_classes.py:227-252);
-    # single fused elementwise mask, not a scatter-then-select
-    ttc_hit = agent_scan.check_ttc(scans, x[:, 3], params.tables, cfg.ttc_thresh)
+    # single fused elementwise mask, not a scatter-then-select (already
+    # computed in-kernel when the fused epilogue is active above)
+    if ttc_hit is None:
+        ttc_hit = agent_scan.check_ttc(scans, x[:, 3], params.tables,
+                                       cfg.ttc_thresh)
     freeze = ttc_hit[:, None] & (jnp.arange(x.shape[-1]) >= 3)
     x = jnp.where(freeze, 0.0, x)
 

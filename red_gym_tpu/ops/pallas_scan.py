@@ -243,3 +243,193 @@ def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac,
     """Fused shuffle-matmul + edge-ramp rendering (see module comment)."""
     return _make_edge(float(max_range))(spec_r, spec_e, spec_w, f_s, wsum,
                                         gmat, c_frac)
+
+
+# ---------------------------------------------------------------------------
+# Edge variant with the scan CONSUMERS fused in: noise add + iTTC wall check
+# ---------------------------------------------------------------------------
+#
+# After the scan is rendered, the env step adds per-env sensor noise and runs
+# the iTTC wall check (ops/agent_scan.py::check_ttc) — both elementwise over
+# the (envs, agents, beams) scan.  In plain XLA that is one extra full write
+# (the noisy scan) and one extra full read (the iTTC pass) of a ~135 MB
+# tensor per step at 16k 2-agent envs.  Here both happen in registers while
+# the rendered tile is still in VMEM: the kernel writes the NOISY scan (what
+# every downstream consumer wants) plus per-(beam-tile, row) hit partials;
+# the tiny (jn, K) max-reduce happens in XLA.
+#
+# Noise is per ENV but rows are (env, agent)-flattened; the noise operand
+# stays (E, B) in HBM and each kernel row tile reads the (ROW_TILE/A, B)
+# env slab and expands it across the A agent rows in VMEM (requires
+# A | ROW_TILE; callers fall back to the unfused path otherwise).
+
+def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
+                     vel_ref, g0_ref, g1_ref, g2_ref, cf_ref, noise_ref,
+                     cos_ref, side_ref, out_ref, hit_ref, *,
+                     max_range, ttc_thresh, agents_per_env, n_beams):
+    sr = specr_ref[:]                                        # (RT, T) f32
+    g0 = jnp.dot(sr, g0_ref[:], preferred_element_type=sr.dtype)
+    g1 = jnp.dot(sr, g1_ref[:], preferred_element_type=sr.dtype)
+    g2 = jnp.dot(sr, g2_ref[:], preferred_element_type=sr.dtype)
+
+    se = spece_ref[:].astype(jnp.bfloat16)
+    sw = specw_ref[:].astype(jnp.bfloat16)
+    g0b = g0_ref[:].astype(jnp.bfloat16)
+    g1b = g1_ref[:].astype(jnp.bfloat16)
+    e_a = jnp.dot(se, g0b, preferred_element_type=sr.dtype)
+    e_b = jnp.dot(se, g1b, preferred_element_type=sr.dtype)
+    w_a = jnp.dot(sw, g0b, preferred_element_type=sr.dtype)
+    w_b = jnp.dot(sw, g1b, preferred_element_type=sr.dtype)
+
+    alpha = fs_ref[:] + cf_ref[:]                            # (RT,1)+(1,BT)
+    lt = alpha < 1.0
+    frac = alpha - jnp.floor(alpha)
+    ga = jnp.where(lt, g0, g1)
+    gb = jnp.where(lt, g1, g2)
+    e_sel = jnp.clip(jnp.where(lt, e_a, e_b), 0.0, 1.0)
+    w_sel = jnp.clip(jnp.where(lt, w_a, w_b), 1.0 / 32.0, 1.0)
+    aa = jnp.clip((frac - (e_sel - 0.5 * w_sel)) / w_sel, 0.0, 1.0)
+    out = ga + aa * (gb - ga)
+    out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
+    out = jnp.clip(out, 0.0, max_range)
+
+    # noise add: expand the (RT/A, BT) env slab across agent rows in VMEM
+    rt, bt = out.shape
+    n = noise_ref[:]                                         # (RT/A, BT)
+    n = jnp.broadcast_to(n[:, None, :], (rt // agents_per_env,
+                                         agents_per_env, bt)).reshape(rt, bt)
+    out = out + n
+    out_ref[:] = out
+
+    # iTTC wall check on the noisy scan (agent_scan.check_ttc, division-
+    # free sign-split form), masked to real beams (the last beam tile is
+    # padded: its tap garbage must not raise phantom hits)
+    j = pl.program_id(0)
+    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+               ) < n_beams
+    pv = vel_ref[:] * cos_ref[:]                             # (RT,1)*(1,BT)
+    num = out - side_ref[:]
+    hit = jnp.where(pv > 0.0,
+                    (num >= 0.0) & (num < ttc_thresh * pv),
+                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
+    # per-beam-tile partial reduce; the (jn, K, 1) output gives every grid
+    # step its own block (an output block revisited at non-consecutive
+    # grid steps is undefined on TPU — the beam axis is the OUTER grid
+    # dim here, so accumulating in-place across j would be one), and the
+    # tiny final max over jn partials runs in XLA
+    one = jnp.ones((), sr.dtype)
+    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one),
+                      axis=1, keepdims=True)                 # (RT, 1)
+    hit_ref[:] = partial[None]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
+    a_n = agents_per_env
+    assert ROW_TILE % a_n == 0
+
+    @jax.custom_batching.custom_vmap
+    def edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac,
+                 noise, cosines, side_dist):
+        """Edge-ramp render + fused noise add + iTTC check.
+
+        Row k is (env k // A, agent k % A); noise (E, B) is per env.
+        Returns (noisy scan (K, B), hit (K,) float 0/1 — pre `vel != 0`
+        mask and any-reduce already applied over beams)."""
+        k_n, t_bins = spec_r.shape
+        b_n = c_frac.shape[0]
+        dtype = spec_r.dtype
+        assert k_n == noise.shape[0] * a_n
+
+        g0m = gmat[:, :b_n]
+        g1m = gmat[:, b_n:2 * b_n]
+        g2m = gmat[:, 2 * b_n:]
+        fs2 = f_s[:, None].astype(dtype)
+        ws2 = wsum[:, None].astype(dtype)
+        vel2 = vel[:, None].astype(dtype)
+        cf2 = c_frac[None, :].astype(dtype)
+        cos2 = cosines[None, :].astype(dtype)
+        side2 = side_dist[None, :].astype(dtype)
+
+        grid = (pl.cdiv(b_n, BEAM_TILE), pl.cdiv(k_n, ROW_TILE))
+        interpret = jax.default_backend() != "tpu"
+
+        row_spec = pl.BlockSpec((ROW_TILE, t_bins), lambda j, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((t_bins, BEAM_TILE), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+        scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        beam_spec = pl.BlockSpec((1, BEAM_TILE), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM)
+        jn = pl.cdiv(b_n, BEAM_TILE)
+        out, hit = pl.pallas_call(
+            functools.partial(_edge_ttc_kernel, max_range=max_range,
+                              ttc_thresh=ttc_thresh, agents_per_env=a_n,
+                              n_beams=b_n),
+            out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
+                       jax.ShapeDtypeStruct((jn, k_n, 1), dtype)),
+            grid=grid,
+            in_specs=[row_spec, row_spec, row_spec, scal_spec, scal_spec,
+                      scal_spec, col_spec, col_spec, col_spec, beam_spec,
+                      pl.BlockSpec((ROW_TILE // a_n, BEAM_TILE),
+                                   lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+                      beam_spec, beam_spec],
+            out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
+                                    lambda j, i: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, ROW_TILE, 1), lambda j, i: (j, i, 0),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(spec_r, spec_e, spec_w, fs2, ws2, vel2, g0m, g1m, g2m, cf2,
+          noise, cos2, side2)
+        return out, jnp.max(hit, axis=0)[:, 0]
+
+    @edge_ttc.def_vmap
+    def _vmap_rule(axis_size, in_batched, spec_r, spec_e, spec_w, f_s, wsum,
+                   vel, gmat, c_frac, noise, cosines, side_dist):
+        (srb, seb, swb, fb, wb, vb, gb, cb, nb, cob, sib) = in_batched
+        assert not (gb or cb or cob or sib), \
+            "constants must not carry a batch axis"
+
+        def mat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        spec_rb = mat(spec_r, srb)          # (E, K, T)
+        spec_eb = mat(spec_e, seb)
+        spec_wb = mat(spec_w, swb)
+        fs_b = mat(f_s, fb)                 # (E, K)
+        ws_b = mat(wsum, wb)
+        vel_b = mat(vel, vb)
+        noise_b = mat(noise, nb)            # (E, Eg, B) with Eg rows/env
+        e, k_n, t_bins = spec_rb.shape
+        noise_b = noise_b.reshape(e * noise_b.shape[1], noise_b.shape[2])
+        out, hit = edge_ttc(
+            spec_rb.reshape(e * k_n, t_bins),
+            spec_eb.reshape(e * k_n, t_bins),
+            spec_wb.reshape(e * k_n, t_bins),
+            fs_b.reshape(e * k_n), ws_b.reshape(e * k_n),
+            vel_b.reshape(e * k_n), gmat, c_frac, noise_b, cosines,
+            side_dist)
+        return (out.reshape(e, k_n, out.shape[-1]),
+                hit.reshape(e, k_n)), (True, True)
+
+    return edge_ttc
+
+
+def theta_shuffle_blend_edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel,
+                                 gmat, c_frac, noise, cosines, side_dist,
+                                 max_range: float, ttc_thresh: float,
+                                 agents_per_env: int):
+    """Fused edge render + noise add + iTTC wall check (see module comment).
+
+    ``noise`` carries one row per env ((E, B); rows are (env, agent)-
+    flattened with ``agents_per_env`` rows per env).  Returns
+    (noisy_scan (K, B), hit (K,) float 0/1); callers still apply the
+    ``vel != 0`` mask (reference laser_models.py:188-217 semantics via
+    ops/agent_scan.py::check_ttc)."""
+    return _make_edge_ttc(float(max_range), float(ttc_thresh),
+                          int(agents_per_env))(
+        spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac, noise,
+        cosines, side_dist)

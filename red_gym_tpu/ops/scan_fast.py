@@ -457,8 +457,32 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
     return rows, wgt, u, dx.astype(dtype), dy.astype(dtype)
 
 
+def use_fused_ttc(cfg: SimConfig) -> bool:
+    """True iff the fused scan+noise+iTTC Pallas epilogue applies: the env
+    step then gets the noisy scan and the per-agent wall-iTTC flag from ONE
+    kernel, skipping a full HBM write (noisy scan) + read (iTTC pass) of
+    the (E, A, B) scan tensor (see pallas_scan.theta_shuffle_blend_edge_ttc).
+    """
+    from red_gym_tpu.ops import pallas_scan as _ps
+
+    if cfg.fuse_scan_ttc == "off":
+        return False
+    ok = (cfg.scan_mode == "fast" and cfg.rt_eff_occlusion == "edge"
+          and _use_pallas(cfg) and _ps.ROW_TILE % cfg.num_agents == 0)
+    if cfg.fuse_scan_ttc == "on":
+        if not ok:
+            raise ValueError(
+                "fuse_scan_ttc='on' needs scan_mode='fast', rt_occlusion="
+                "'edge', scan_interp='linear', a Pallas-capable backend "
+                "(scan_backend 'pallas', or 'auto' on TPU), and num_agents "
+                f"dividing {_ps.ROW_TILE}")
+        return True
+    return False      # "auto": off pending on-chip A/B measurement
+
+
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
-                   rtex: RangeTexture, cfg: SimConfig, midx=None):
+                   rtex: RangeTexture, cfg: SimConfig, midx=None,
+                   fused_ttc=None):
     """MXU formulation of the fast scan: contiguous gathers + constant matmuls.
 
     Decompose every beam's theta coordinate u_b = s + c_b where s depends
@@ -632,6 +656,25 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     if _use_pallas(cfg):
         from red_gym_tpu.ops import pallas_scan
 
+        if e_b is not None and fused_ttc is not None:
+            # fused consumers (use_fused_ttc): noise add + iTTC check ride
+            # the same kernel.  Contract: ONE env per call — pose (A, 3),
+            # noise (B,), vel (A,); batching over envs goes through vmap
+            # (the kernel's custom_vmap rule collapses the env axis).
+            noise, vel = fused_ttc
+            batch = spec_r.shape[:-2]
+            a_n = 1
+            for d in batch:
+                a_n *= int(d)
+            out, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
+                spec_r[..., 0, :].reshape((-1, t_bins)),
+                spec_r[..., 1, :].reshape((-1, t_bins)),
+                spec_r[..., 2, :].reshape((-1, t_bins)),
+                f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
+                vel.reshape((-1,)), rtex.gmat, c_frac,
+                noise.reshape((1, -1)), tables.beam_cosines,
+                tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n)
+            return out.reshape(batch + (b_n,)), hit.reshape(batch)
         if e_b is not None:
             # edge mode: shuffle matmuls + parallax-ramp render fused in
             # VMEM; the (..., 3, 3B) tap intermediate never touches HBM

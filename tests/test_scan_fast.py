@@ -517,6 +517,81 @@ def test_pallas_edge_epilogue_matches_xla(setup_edge):
     np.testing.assert_allclose(bv, b, rtol=1e-6, atol=1e-6)
 
 
+def test_fused_ttc_epilogue_matches_unfused(setup_edge):
+    """The fused noise+iTTC edge kernel (fuse_scan_ttc) returns the same
+    noisy scan and hit flags as pallas-edge + XLA noise add + check_ttc —
+    identical math, so the comparison is tight even through interpret
+    mode."""
+    import dataclasses
+
+    from red_gym_tpu.ops import agent_scan
+
+    tmap, tables, rtex = setup_edge
+    # generous iTTC horizon so the random free-space poses produce hits AND
+    # misses (at the shipped 5 ms horizon only near-wall poses hit)
+    cfg = dataclasses.replace(CFG_EDGE, scan_backend="pallas",
+                              ttc_thresh=2.0)
+    e_n, a_n = 5, 2
+    pv = _free_poses(tmap, e_n * a_n, seed=31).reshape(e_n, a_n, 3)
+    rng = np.random.default_rng(3)
+    noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg.num_beams)))
+    # velocities spanning both iTTC sign branches and the vel == 0 freeze
+    vel = jnp.asarray([[0.0, 5.0], [-3.0, 6.0], [4.0, -1.0],
+                       [6.0, 6.0], [0.2, 3.0]])
+
+    fused = jax.jit(jax.vmap(
+        lambda po, no, ve: scan_fast.trace_fast_mxu(
+            po, tables, tmap, rtex, cfg, fused_ttc=(no, ve))))
+    scans_f, hit01 = fused(pv, noise, vel)
+    hit_f = np.asarray((hit01 > 0) & (vel != 0.0))
+
+    plain = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg)))
+    scans_u = plain(pv) + noise[:, None, :]
+    hit_u = np.asarray(agent_scan.check_ttc(scans_u, vel, tables,
+                                            cfg.ttc_thresh))
+
+    np.testing.assert_allclose(np.asarray(scans_f), np.asarray(scans_u),
+                               rtol=1e-6, atol=1e-6)
+    # a hit flag can only legitimately differ if some beam sits within
+    # float rounding of the iTTC inequality boundary; with these smooth
+    # inputs none do
+    np.testing.assert_array_equal(hit_f, hit_u)
+    # contract guard: at least one hit and one miss among moving agents
+    moving = np.asarray(vel != 0.0)
+    assert hit_u[moving].any() and (~hit_u[moving]).any(), \
+        "degenerate fixture: iTTC outcomes not exercised both ways"
+
+
+def test_fused_ttc_env_step_matches_unfused():
+    """One full env step with fuse_scan_ttc='on' (pallas interpret) equals
+    the unfused pallas path: same RNG stream, same scans/state/collisions."""
+    import dataclasses
+
+    cfg = SimConfig(num_agents=2, num_beams=270, dtype="float32",
+                    scan_mode="fast", rt_theta_bins=128, rt_pose_stride=8,
+                    scan_backend="pallas", fuse_scan_ttc="on")
+    assert scan_fast.use_fused_ttc(cfg)
+    tmap32 = load_map(MAP_YAML, ".png", dtype=jnp.float32)
+    params = envlib.make_params(cfg, MAP_YAML, ".png")
+    del tmap32
+    poses = jnp.asarray([[0.7, 0.0, 1.37], [0.7, -1.0, 1.37]], jnp.float32)
+    actions = jnp.asarray([[0.1, 3.0], [-0.1, 2.0]], jnp.float32)
+
+    outs = {}
+    for name, mut in (("fused", {}), ("plain", {"fuse_scan_ttc": "off"})):
+        ci = dataclasses.replace(cfg, **mut)
+        state = envlib.init_state(ci, poses, jax.random.PRNGKey(7))
+        # a couple of steps so velocity is nonzero when iTTC runs
+        for _ in range(3):
+            state, obs, rew, done, info = jax.jit(
+                lambda s, a: envlib.step(ci, params, s, a))(state, actions)
+        outs[name] = (np.asarray(obs.scans), np.asarray(state.x),
+                      np.asarray(state.collisions))
+    for a, b in zip(outs["fused"], outs["plain"]):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_snap_mode_variants_agree(setup):
     """rt_occlusion='snap' needs no extra channels and the two variants
     agree (the plain single-channel texture serves it)."""
