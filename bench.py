@@ -53,6 +53,8 @@ _MODE_LABELS = {
     "legacy": "pre-r3 default: bilinear/linear, no channels",
     "bilinear": "bilinear/linear + edge/grad channels",
     "pool": "library default + noise_mode=pool",
+    "fused": "library default + fuse_scan_ttc=on (noise+iTTC in-kernel)",
+    "fusedpool": "fuse_scan_ttc=on + noise_mode=pool",
 }
 
 
@@ -74,7 +76,18 @@ out = pallas_scan.theta_shuffle_blend_edge(
     jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
     jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
     jnp.asarray(r.uniform(size=(B,)), jnp.float32), 30.0)
-print("PALLAS_OK", float(jnp.sum(out)), flush=True)
+out2, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
+    *(jnp.asarray(r.normal(size=(K, T)), jnp.float32) for _ in range(3)),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * r.normal(size=(K // 2, B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, 2)
+print("PALLAS_OK", float(jnp.sum(out) + jnp.sum(out2) + jnp.sum(hit)),
+      flush=True)
 """
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
@@ -123,6 +136,11 @@ def make_cfg(mode: str) -> SimConfig:
                        rt_spatial="bilinear"),
         "bilinear": dict(rt_spatial="bilinear"),
         "pool": dict(noise_mode="pool"),
+        # explicit pallas backend: same dispatch "auto" picks on TPU, and
+        # keeps the mode runnable (interpret) for off-TPU smoke tests
+        "fused": dict(fuse_scan_ttc="on", scan_backend="pallas"),
+        "fusedpool": dict(fuse_scan_ttc="on", scan_backend="pallas",
+                          noise_mode="pool"),
     }[mode]
     return dataclasses.replace(cfg, **mut)
 
