@@ -22,6 +22,12 @@ VARIANTS = {
     "linear/occl-off+grad": dict(rt_occlusion="off"),
     "linear/snap+grad": dict(rt_occlusion="snap"),
     "default(edge+grad)": {},
+    # r3 session-3 levers (pallas edge epilogue active via auto on TPU)
+    "edge/xla-fallback": dict(scan_backend="xla"),
+    "edge/fused-ttc": dict(fuse_scan_ttc="on", scan_backend="pallas"),
+    "edge/fused-ttc+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
+                                noise_mode="pool"),
+    "edge/nonoise": dict(scan_noise_std=0.0),
 }
 
 
