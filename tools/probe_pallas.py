@@ -19,10 +19,12 @@ import sys
 
 STAGES = {
     "xla": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
 import jax, jax.numpy as jnp
 print("PASS xla", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
 """,
     "pallas-tiny": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -31,10 +33,12 @@ def k(x_ref, o_ref):
 x = jnp.ones((8, 128), jnp.float32)
 y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-                   out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
+                   out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                   interpret=jax.default_backend() != "tpu")(x)
 print("PASS pallas-tiny", float(jnp.sum(y)), flush=True)
 """,
     "pallas-edge": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np
 import jax, jax.numpy as jnp
 from red_gym_tpu.ops import pallas_scan
@@ -50,7 +54,31 @@ out = pallas_scan.theta_shuffle_blend_edge(
     jnp.asarray(rng.uniform(size=(B,)), jnp.float32), 30.0)
 print("PASS pallas-edge", float(jnp.sum(out)), out.shape, flush=True)
 """,
+    "pallas-edge-ttc": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+out, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, A)
+print("PASS pallas-edge-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
     "env-step-default": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np
 import jax, jax.numpy as jnp
 from red_gym_tpu.config import Integrator, SimConfig
@@ -77,7 +105,7 @@ def main():
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     timeouts = {"xla": 120, "pallas-tiny": 300, "pallas-edge": 420,
-                "env-step-default": 600}
+                "pallas-edge-ttc": 420, "env-step-default": 600}
     for name, code in STAGES.items():
         try:
             r = subprocess.run([sys.executable, "-c", code], env=env,
