@@ -317,10 +317,11 @@ def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
     # grid steps is undefined on TPU — the beam axis is the OUTER grid
     # dim here, so accumulating in-place across j would be one), and the
     # tiny final max over jn partials runs in XLA
+    # (1, RT) output block: row-tile lanes (multiple of 128) rather than a
+    # single-lane (RT, 1) column — the Mosaic-friendly layout
     one = jnp.ones((), sr.dtype)
-    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one),
-                      axis=1, keepdims=True)                 # (RT, 1)
-    hit_ref[:] = partial[None]
+    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
+    hit_ref[:] = partial[None, :]                            # (1, RT)
 
 
 @functools.lru_cache(maxsize=None)
@@ -368,7 +369,7 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
                               n_beams=b_n),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
-                       jax.ShapeDtypeStruct((jn, k_n, 1), dtype)),
+                       jax.ShapeDtypeStruct((jn, k_n), dtype)),
             grid=grid,
             in_specs=[row_spec, row_spec, row_spec, scal_spec, scal_spec,
                       scal_spec, col_spec, col_spec, col_spec, beam_spec,
@@ -379,12 +380,12 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
             out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
                                     lambda j, i: (i, j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, ROW_TILE, 1), lambda j, i: (j, i, 0),
+                       pl.BlockSpec((1, ROW_TILE), lambda j, i: (j, i),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
         )(spec_r, spec_e, spec_w, fs2, ws2, vel2, g0m, g1m, g2m, cf2,
           noise, cos2, side2)
-        return out, jnp.max(hit, axis=0)[:, 0]
+        return out, jnp.max(hit, axis=0)
 
     @edge_ttc.def_vmap
     def _vmap_rule(axis_size, in_batched, spec_r, spec_e, spec_w, f_s, wsum,
