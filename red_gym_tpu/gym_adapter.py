@@ -115,7 +115,11 @@ class F110GymnasiumEnv(gymnasium.Env):
 
 def register():
     """Idempotently register ``f110-v0`` with gymnasium (the reference's
-    gym.register id, gym/f110_gym/__init__.py:1-5)."""
+    gym.register id, gym/f110_gym/__init__.py:1-5).  The vector entry point
+    serves ``gymnasium.make_vec("f110-v0", num_envs=...)`` with the
+    on-device batch (:mod:`red_gym_tpu.gym_vector`)."""
     if "f110-v0" not in gymnasium.registry:
-        gymnasium.register(id="f110-v0",
-                           entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv")
+        gymnasium.register(
+            id="f110-v0",
+            entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv",
+            vector_entry_point="red_gym_tpu.gym_vector:F110VectorEnv")

@@ -35,12 +35,19 @@ class VecF110Env:
                  integrator: Integrator = Integrator.RK4,
                  seed: int = 12345, auto_reset: bool = True,
                  params: dict | VehicleParams | None = None,
-                 map_idx=None, randomize_starts=None, **cfg_kwargs):
+                 map_idx=None, randomize_starts=None,
+                 return_final_obs: bool = False, **cfg_kwargs):
         """``randomize_starts``: optional (M, A, 3) per-map start-pose table
         for domain randomization over a multi-map env (``map`` a list):
         every auto-reset draws a fresh track uniformly and spawns at that
         track's start pose (the rollout.make_rollout(randomize_starts=...)
-        capability, surfaced on the wrapper)."""
+        capability, surfaced on the wrapper).
+
+        ``return_final_obs``: include the PRE-auto-reset observation of the
+        step in ``info["final_obs"]`` (gymnasium same-step autoreset
+        convention — value bootstrapping at episode ends needs the terminal
+        obs, which auto-reset otherwise discards).  Off by default: it
+        doubles the per-step obs HBM traffic."""
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         unknown = set(cfg_kwargs) - set(SimConfig.__dataclass_fields__)
@@ -98,6 +105,8 @@ class VecF110Env:
 
         def step_auto(pr, states, actions, key, rs):
             states, obs, reward, done, info = step_v(pr, states, actions)
+            if return_final_obs:
+                info = dict(info, final_obs=obs)
             if auto_reset:
                 key, kr = jax.random.split(key)
                 keys = jax.random.split(kr, done.shape[0])
@@ -149,4 +158,7 @@ class VecF110Env:
 
     @staticmethod
     def _info(info, done) -> dict:
-        return {"checkpoint_done": info["checkpoint_done"], "done": done}
+        out = {"checkpoint_done": info["checkpoint_done"], "done": done}
+        if "final_obs" in info:
+            out["final_obs"] = VecF110Env._obs_dict(info["final_obs"])
+        return out

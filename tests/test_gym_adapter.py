@@ -76,3 +76,50 @@ def test_gym_compat_legacy_4tuple():
 def test_gym_compat_unknown_id():
     with pytest.raises(ValueError):
         gym_compat.make("CartPole-v1")
+
+
+def test_make_vec_api_roundtrip():
+    """gymnasium.make_vec serves the on-device batch through the standard
+    VectorEnv surface: batched spaces, 5-tuple step, same-step autoreset
+    metadata (red_gym_tpu/gym_vector.py)."""
+    envs = gymnasium.make_vec("f110-v0", num_envs=4, **KW)
+    assert envs.num_envs == 4
+    assert envs.metadata["autoreset_mode"] == \
+        gymnasium.vector.AutoresetMode.SAME_STEP
+    obs, info = envs.reset(seed=3)
+    assert envs.observation_space.contains(obs), "obs outside batched space"
+    assert obs["scans"].shape == (4, 1, 108)
+    act = np.zeros((4, 1, 2), np.float32)
+    obs, rew, term, trunc, infos = envs.step(act)
+    assert rew.shape == term.shape == trunc.shape == (4,)
+    assert term.dtype == bool and not trunc.any()
+    # same-step autoreset contract: terminal obs + presence mask
+    assert "final_obs" in infos and "_final_obs" in infos
+    assert infos["final_obs"]["scans"].shape == (4, 1, 108)
+    np.testing.assert_array_equal(infos["_final_obs"], term)
+    envs.close()
+
+
+def test_vector_env_autoresets_crashed_envs():
+    """Envs driven into the wall terminate and come back reset in the SAME
+    step: the returned obs is the fresh reset obs near the start pose while
+    final_obs carries the terminal (at-the-wall) one."""
+    envs = gymnasium.make_vec("f110-v0", num_envs=2, **KW)
+    obs, _ = envs.reset(options={"poses": np.array([[0.0, 0.0, 0.0]])})
+    act = np.tile(np.array([[0.0, 8.0]], np.float32), (2, 1, 1))
+    for _ in range(300):
+        obs, rew, term, trunc, infos = envs.step(act)
+        if term.any():
+            break
+    assert term.any(), "never collided driving straight at a wall"
+    e = int(np.argmax(term))
+    np.testing.assert_array_equal(infos["_final_obs"], term)
+    # post-step obs is the reset state (start pose, collision cleared); the
+    # terminal obs carries the collision flag and the at-the-wall pose
+    # (velocity is zero in BOTH: the iTTC hit freezes dynamic state within
+    # the crash step, reference base_classes.py:227-252)
+    assert abs(float(obs["poses_x"][e])) < 1.0
+    assert float(obs["collisions"][e]) == 0.0
+    assert float(infos["final_obs"]["collisions"][e]) == 1.0
+    assert float(infos["final_obs"]["poses_x"][e]) > 1.0
+    envs.close()
