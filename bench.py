@@ -55,6 +55,7 @@ _MODE_LABELS = {
     "pool": "library default + noise_mode=pool",
     "fused": "library default + fuse_scan_ttc=on (noise+iTTC in-kernel)",
     "fusedpool": "fuse_scan_ttc=on + noise_mode=pool",
+    "ultrafused": "ultra (spectral) + fuse_scan_ttc=on (noise+iTTC in-kernel)",
 }
 
 
@@ -141,6 +142,9 @@ def make_cfg(mode: str) -> SimConfig:
         "fused": dict(fuse_scan_ttc="on", scan_backend="pallas"),
         "fusedpool": dict(fuse_scan_ttc="on", scan_backend="pallas",
                           noise_mode="pool"),
+        "ultrafused": dict(scan_interp="spectral", rt_grad=False,
+                           rt_occlusion="off", fuse_scan_ttc="on",
+                           scan_backend="pallas"),
     }[mode]
     return dataclasses.replace(cfg, **mut)
 
@@ -200,8 +204,9 @@ def main():
         }), flush=True)
         return
     edge_modes = {"default", "t256", "bilinear", "pool"}
+    fused_modes = {"fused", "fusedpool", "ultrafused"}
     need_probe = (jax.default_backend() == "tpu"
-                  and any(m in edge_modes for m in MODES))
+                  and any(m in edge_modes | fused_modes for m in MODES))
     pallas_ok = _pallas_preflight() if need_probe else True
     for mode in MODES:
         cfg = make_cfg(mode)
@@ -209,6 +214,10 @@ def main():
         if mode in edge_modes and need_probe and not pallas_ok:
             cfg = dataclasses.replace(cfg, scan_backend="xla")
             label += " [xla fallback: pallas unavailable]"
+        elif mode in fused_modes and need_probe and not pallas_ok:
+            cfg = dataclasses.replace(cfg, scan_backend="xla",
+                                      fuse_scan_ttc="off")
+            label += " [UNFUSED xla fallback: pallas unavailable]"
         rate = measure(cfg)
         print(json.dumps({
             "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam "

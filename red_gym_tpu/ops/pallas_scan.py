@@ -419,6 +419,138 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
     return edge_ttc
 
 
+# ---------------------------------------------------------------------------
+# Spectral variant with fused consumers: one smat matmul + noise + iTTC
+# ---------------------------------------------------------------------------
+#
+# The spectral ("ultra") interpolation needs no tap pipeline at all — the
+# rolled spectrum hits one constant (T, B) trig matrix.  Its XLA tail is a
+# single cheap matmul, which is why scan_backend="auto" keeps XLA there;
+# but the scan's CONSUMERS (noise add + iTTC) still cost a full extra HBM
+# write + read of the (E, A, B) scan per step.  This kernel folds them in,
+# same layout/contract as the edge+ttc variant above.
+
+def _spec_ttc_kernel(spec_ref, wsum_ref, vel_ref, smat_ref, noise_ref,
+                     cos_ref, side_ref, out_ref, hit_ref, *,
+                     max_range, ttc_thresh, agents_per_env, n_beams):
+    s = spec_ref[:]                                          # (RT, T)
+    out = jnp.dot(s, smat_ref[:], preferred_element_type=s.dtype)
+    out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
+    out = jnp.clip(out, 0.0, max_range)
+
+    rt, bt = out.shape
+    n = noise_ref[:]                                         # (RT/A, BT)
+    n = jnp.broadcast_to(n[:, None, :], (rt // agents_per_env,
+                                         agents_per_env, bt)).reshape(rt, bt)
+    out = out + n
+    out_ref[:] = out
+
+    j = pl.program_id(0)
+    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+               ) < n_beams
+    pv = vel_ref[:] * cos_ref[:]
+    num = out - side_ref[:]
+    hit = jnp.where(pv > 0.0,
+                    (num >= 0.0) & (num < ttc_thresh * pv),
+                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
+    one = jnp.ones((), s.dtype)
+    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
+    hit_ref[:] = partial[None, :]                            # (1, RT)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spec_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
+    a_n = agents_per_env
+    assert ROW_TILE % a_n == 0
+
+    @jax.custom_batching.custom_vmap
+    def spec_ttc(spec_r, wsum, vel, smat, noise, cosines, side_dist):
+        """Spectral render + fused noise add + iTTC check.
+
+        spec_r (K, T) is the phase-rolled packed spectrum; smat (T, B) the
+        windowed trig evaluation matrix.  Same row/noise contract as
+        theta_shuffle_blend_edge_ttc."""
+        k_n, t_bins = spec_r.shape
+        b_n = smat.shape[1]
+        dtype = spec_r.dtype
+        assert k_n == noise.shape[0] * a_n
+
+        ws2 = wsum[:, None].astype(dtype)
+        vel2 = vel[:, None].astype(dtype)
+        cos2 = cosines[None, :].astype(dtype)
+        side2 = side_dist[None, :].astype(dtype)
+
+        grid = (pl.cdiv(b_n, BEAM_TILE), pl.cdiv(k_n, ROW_TILE))
+        interpret = jax.default_backend() != "tpu"
+
+        row_spec = pl.BlockSpec((ROW_TILE, t_bins), lambda j, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((t_bins, BEAM_TILE), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+        scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        beam_spec = pl.BlockSpec((1, BEAM_TILE), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM)
+        jn = pl.cdiv(b_n, BEAM_TILE)
+        out, hit = pl.pallas_call(
+            functools.partial(_spec_ttc_kernel, max_range=max_range,
+                              ttc_thresh=ttc_thresh, agents_per_env=a_n,
+                              n_beams=b_n),
+            out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
+                       jax.ShapeDtypeStruct((jn, k_n), dtype)),
+            grid=grid,
+            in_specs=[row_spec, scal_spec, scal_spec, col_spec,
+                      pl.BlockSpec((ROW_TILE // a_n, BEAM_TILE),
+                                   lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+                      beam_spec, beam_spec],
+            out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
+                                    lambda j, i: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, ROW_TILE), lambda j, i: (j, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(spec_r, ws2, vel2, smat, noise, cos2, side2)
+        return out, jnp.max(hit, axis=0)
+
+    @spec_ttc.def_vmap
+    def _vmap_rule(axis_size, in_batched, spec_r, wsum, vel, smat, noise,
+                   cosines, side_dist):
+        (srb, wb, vb, smb, nb, cob, sib) = in_batched
+        assert not (smb or cob or sib), \
+            "constants must not carry a batch axis"
+
+        def mat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        spec_rb = mat(spec_r, srb)          # (E, K, T)
+        ws_b = mat(wsum, wb)
+        vel_b = mat(vel, vb)
+        noise_b = mat(noise, nb)            # (E, Eg, B)
+        e, k_n, t_bins = spec_rb.shape
+        noise_b = noise_b.reshape(e * noise_b.shape[1], noise_b.shape[2])
+        out, hit = spec_ttc(
+            spec_rb.reshape(e * k_n, t_bins), ws_b.reshape(e * k_n),
+            vel_b.reshape(e * k_n), smat, noise_b, cosines, side_dist)
+        return (out.reshape(e, k_n, out.shape[-1]),
+                hit.reshape(e, k_n)), (True, True)
+
+    return spec_ttc
+
+
+def theta_spectral_ttc(spec_r, wsum, vel, smat, noise, cosines, side_dist,
+                       max_range: float, ttc_thresh: float,
+                       agents_per_env: int):
+    """Fused spectral render + noise add + iTTC check (see comment above).
+
+    Same contract as :func:`theta_shuffle_blend_edge_ttc`: ``noise`` is one
+    row per env, rows are (env, agent)-flattened with ``agents_per_env``
+    rows per env, and callers apply the ``vel != 0`` mask."""
+    return _make_spec_ttc(float(max_range), float(ttc_thresh),
+                          int(agents_per_env))(
+        spec_r, wsum, vel, smat, noise, cosines, side_dist)
+
+
 def theta_shuffle_blend_edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel,
                                  gmat, c_frac, noise, cosines, side_dist,
                                  max_range: float, ttc_thresh: float,

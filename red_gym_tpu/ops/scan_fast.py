@@ -467,15 +467,17 @@ def use_fused_ttc(cfg: SimConfig) -> bool:
 
     if cfg.fuse_scan_ttc == "off":
         return False
-    ok = (cfg.scan_mode == "fast" and cfg.rt_eff_occlusion == "edge"
+    ok = (cfg.scan_mode == "fast"
+          and (cfg.rt_eff_occlusion == "edge"
+               or cfg.scan_interp == "spectral")
           and _use_pallas(cfg) and _ps.ROW_TILE % cfg.num_agents == 0)
     if cfg.fuse_scan_ttc == "on":
         if not ok:
             raise ValueError(
-                "fuse_scan_ttc='on' needs scan_mode='fast', rt_occlusion="
-                "'edge', scan_interp='linear', a Pallas-capable backend "
-                "(scan_backend 'pallas', or 'auto' on TPU), and num_agents "
-                f"dividing {_ps.ROW_TILE}")
+                "fuse_scan_ttc='on' needs scan_mode='fast', a Pallas-"
+                "capable backend (scan_backend 'pallas', or 'auto' on TPU "
+                "for edge mode), rt_occlusion='edge' OR scan_interp="
+                f"'spectral', and num_agents dividing {_ps.ROW_TILE}")
         return True
     return False      # "auto": off pending on-chip A/B measurement
 
@@ -631,6 +633,23 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         re_r = re * cphi - im_full * sphi
         im_r = (re * sphi + im_full * cphi)[..., 1:-1]
         spec_r = jnp.concatenate([re_r, im_r], axis=-1)         # (..., T)
+        if fused_ttc is not None and _use_pallas(cfg):
+            # fused consumers (use_fused_ttc): the smat render + noise add
+            # + iTTC ride one kernel.  Same one-env-per-call contract as
+            # the edge variant below.
+            from red_gym_tpu.ops import pallas_scan
+
+            noise, vel = fused_ttc
+            batch = spec_r.shape[:-1]
+            a_n = 1
+            for d in batch:
+                a_n *= int(d)
+            out, hit = pallas_scan.theta_spectral_ttc(
+                spec_r.reshape((-1, t_bins)),
+                wsum[..., 0].reshape((-1,)), vel.reshape((-1,)),
+                rtex.smat, noise.reshape((1, -1)), tables.beam_cosines,
+                tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n)
+            return out.reshape(batch + (b_n,)), hit.reshape(batch)
         out = jnp.matmul(spec_r, rtex.smat,
                          preferred_element_type=dtype)          # (..., B)
         out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)

@@ -563,6 +563,44 @@ def test_fused_ttc_epilogue_matches_unfused(setup_edge):
         "degenerate fixture: iTTC outcomes not exercised both ways"
 
 
+def test_fused_ttc_spectral_matches_unfused(setup):
+    """The fused spectral kernel (theta_spectral_ttc) == XLA spectral render
+    + noise add + check_ttc.  The contraction dim is untiled, so the matmul
+    reduction order matches XLA's and the comparison is tight."""
+    import dataclasses
+
+    from red_gym_tpu.ops import agent_scan
+
+    tmap, tables, rtex = setup
+    cfg = dataclasses.replace(CFG, scan_interp="spectral",
+                              scan_backend="pallas", ttc_thresh=2.0)
+    e_n, a_n = 4, 2
+    pv = _free_poses(tmap, e_n * a_n, seed=23).reshape(e_n, a_n, 3)
+    rng = np.random.default_rng(5)
+    noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg.num_beams)))
+    vel = jnp.asarray([[0.0, 5.0], [-3.0, 6.0], [4.0, -1.0], [6.0, 2.0]])
+
+    fused = jax.jit(jax.vmap(
+        lambda po, no, ve: scan_fast.trace_fast_mxu(
+            po, tables, tmap, rtex, cfg, fused_ttc=(no, ve))))
+    scans_f, hit01 = fused(pv, noise, vel)
+    hit_f = np.asarray((hit01 > 0) & (vel != 0.0))
+
+    cfg_x = dataclasses.replace(cfg, scan_backend="xla")
+    plain = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_x)))
+    scans_u = plain(pv) + noise[:, None, :]
+    hit_u = np.asarray(agent_scan.check_ttc(scans_u, vel, tables,
+                                            cfg.ttc_thresh))
+
+    np.testing.assert_allclose(np.asarray(scans_f), np.asarray(scans_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(hit_f, hit_u)
+    moving = np.asarray(vel != 0.0)
+    assert hit_u[moving].any() and (~hit_u[moving]).any(), \
+        "degenerate fixture: iTTC outcomes not exercised both ways"
+
+
 def test_fused_ttc_env_step_matches_unfused():
     """One full env step with fuse_scan_ttc='on' (pallas interpret) equals
     the unfused pallas path: same RNG stream, same scans/state/collisions."""
