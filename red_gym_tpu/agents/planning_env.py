@@ -175,6 +175,18 @@ class PlanningEnv:
                                              ps.env_state, actions)
         bitmap = self._bitmap(obs.scans[ego])
 
+        # divergence quarantine: the CommonRoad ST model is stiff near the
+        # kinematic-switch speed, and an adversarial planner CAN excite the
+        # yaw/slip feedback into overflow at the reference's own dt=0.015
+        # (observed: |yaw_rate| 1e35 within one episode of random-policy
+        # warmup).  The reference's one-env host loop would crash there;
+        # batched training must instead flag the env done (the trainer's
+        # auto-reset restarts it) BEFORE a huge/NaN reward poisons the
+        # replay buffer.  Same philosophy as utils.debug.quarantine_reset.
+        xs = env_state.x.reshape(-1)
+        diverged = (~jnp.all(jnp.isfinite(xs))) | (jnp.max(jnp.abs(xs)) > 1e4)
+        done = done | diverged
+
         # rewards (SAL.py:219-250) — computed on the PREVIOUS bitmap
         new_pos = jnp.stack([obs.poses_x[ego], obs.poses_y[ego]])
         progress = jnp.linalg.norm(new_pos - ps.prev_pos) * 10.0
@@ -196,6 +208,9 @@ class PlanningEnv:
                               500.0 - 10.0 * obs.lap_times[ego], 0.0)
         reward = (progress + centering + lap_bonus
                   + jnp.where(collided, -100.0, 0.0))
+        # a diverged step's reward is crash-valued, never the (huge/NaN)
+        # computed one
+        reward = jnp.where(diverged, -100.0, reward)
 
         # waypoint index advance (SAL.py:252-259)
         target = path[jnp.clip(sub_index, 0, PATH_LEN - 1)]

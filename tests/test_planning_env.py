@@ -44,6 +44,32 @@ def test_decode_action_matches_reference_math():
         assert np.all(d <= np.deg2rad(10) + 1e-5)
 
 
+def test_divergence_quarantine():
+    """A dynamics blow-up (stiff ST yaw/slip feedback; observed |yaw_rate|
+    ~1e35 under random-policy warmup at the reference's dt=0.015) flags the
+    env done with a crash reward instead of emitting a huge/NaN reward
+    that would poison a replay buffer."""
+    cfg = SimConfig(num_agents=1, num_beams=108, timestep=0.015,
+                    dtype="float32")
+    params = envlib.make_params(cfg, MAP_YAML, ".png")
+    env = pe.PlanningEnv(cfg, params, reward_mode="fixed")
+    ps = env.reset(jnp.asarray([[0.7, 0.0, 1.37079632679]], jnp.float32),
+                   jax.random.PRNGKey(0))
+    # poison the yaw-rate the way the stiff model does (finite but huge —
+    # the pre-NaN stage the guard must already catch)
+    x = ps.env_state.x.at[0, 5].set(1e35)
+    ps = ps._replace(env_state=ps.env_state._replace(x=x))
+    act = jnp.zeros((16,), jnp.float32)
+    ps2, bitmap, reward, done, info = jax.jit(env.step)(ps, act)
+    assert bool(done)
+    assert float(reward) == -100.0
+    # healthy states don't trip the guard
+    ps = env.reset(jnp.asarray([[0.7, 0.0, 1.37079632679]], jnp.float32),
+                   jax.random.PRNGKey(0))
+    ps2, bitmap, reward, done, info = jax.jit(env.step)(ps, act)
+    assert not bool(done) and np.isfinite(float(reward))
+
+
 @pytest.mark.slow
 def test_planning_env_runs_and_replans():
     params = envlib.make_params(CFG, MAP_YAML, ".png")
