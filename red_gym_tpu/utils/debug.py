@@ -76,10 +76,16 @@ def explain(report: Dict[str, jnp.ndarray]) -> list[str]:
             if int(np.asarray(v)) > 0]
 
 
-def env_health_mask(state: EnvState) -> jnp.ndarray:
+def env_health_mask(state: EnvState, max_abs_x: float = 1e4) -> jnp.ndarray:
     """Per-env boolean health over a batched EnvState (E, ...): an env is
-    unhealthy iff any of its state leaves carries a non-finite value.
-    Pure/jittable — the building block for quarantine_reset."""
+    unhealthy iff any of its state leaves carries a non-finite value, OR
+    its dynamic state ``x`` exceeds ``max_abs_x`` in magnitude — the stiff
+    ST yaw/slip feedback passes through a huge-but-finite stage (observed
+    |yaw_rate| ~1e35) for several steps before the first actual NaN, and
+    consumers (rewards, observations) are already poisoned there.  The
+    bound only applies to ``x`` (speeds/angles/rates, physically <= 1e2):
+    clocks and lap times legitimately grow without bound in sustained
+    runs.  Pure/jittable — the building block for quarantine_reset."""
     def bad(leaf):
         if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return None
@@ -91,6 +97,8 @@ def env_health_mask(state: EnvState) -> jnp.ndarray:
     bad_any = flags[0]
     for f in flags[1:]:
         bad_any = bad_any | f
+    axes = tuple(range(1, state.x.ndim))
+    bad_any = bad_any | jnp.any(jnp.abs(state.x) > max_abs_x, axis=axes)
     return ~bad_any
 
 

@@ -55,20 +55,22 @@ def test_nan_injection_quarantined(params):
     x = np.asarray(states.x).copy()
     x[2, 0, 3] = np.nan                      # env 2: NaN velocity
     x[5, 1, :] = np.inf                      # env 5: whole opponent state
+    x[6, 0, 5] = 1e35                        # env 6: huge-but-FINITE yaw
+    #   rate — the stiff-dynamics pre-NaN stage env_health_mask must catch
     poisoned = states._replace(x=jnp.asarray(x))
 
     fix = jax.jit(lambda s, o, k: debug.quarantine_reset(CFG, params, s, o, k))
     fixed, fobs, healthy = fix(poisoned, obs, jax.random.PRNGKey(7))
 
     np.testing.assert_array_equal(np.asarray(healthy),
-                                  [1, 1, 0, 1, 1, 0, 1, 1])
+                                  [1, 1, 0, 1, 1, 0, 0, 1])
     fx = np.asarray(fixed.x)
     assert np.isfinite(fx).all(), "quarantine left non-finite state behind"
     # poisoned envs are back at their start pose with zeroed dynamics
     np.testing.assert_allclose(fx[2, :, 0:2], START[:, 0:2], atol=0.05)
     assert float(fixed.current_time[2]) == pytest.approx(CFG.timestep)
     # healthy envs bit-identical, still mid-episode
-    for e in (0, 1, 3, 4, 6, 7):
+    for e in (0, 1, 3, 4, 7):
         np.testing.assert_array_equal(fx[e], np.asarray(poisoned.x)[e])
         assert float(fixed.current_time[e]) == float(poisoned.current_time[e])
     # and the whole batch steps on without propagating anything
