@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--grad-clip", type=float, default=10.0,
                     help="global-norm gradient clip (0 disables; the plain-"
                          "Adam reference setup diverged to NaN at 64 envs)")
+    ap.add_argument("--alpha", type=float, default=0.2,
+                    help="SAC entropy coefficient. 0.2 is the reference's "
+                         "fixed value (SAL.py:479) — but on this 16-D "
+                         "action space that entropy bonus (~3) drowns the "
+                         "task reward's ~0.3 dynamic range and the policy "
+                         "stays near-uniform (measured: flat reward over "
+                         "30k env-steps); ~0.02 makes the signal "
+                         "competitive for actual learning runs")
     ap.add_argument("--f32", action="store_true",
                     help="float32 CNN compute instead of bfloat16")
     args = ap.parse_args()
@@ -80,7 +88,7 @@ def main():
         bitmap_dims=(args.bitmap, args.bitmap))
     env = pe.PlanningEnv(cfg, params, pcfg, reward_mode=args.reward_mode)
     sac = SAC(obs_shape=(args.bitmap, args.bitmap), action_dim=pe.ACTION_DIM,
-              grad_clip=args.grad_clip or None,
+              alpha=args.alpha, grad_clip=args.grad_clip or None,
               compute_dtype=_jnp.float32 if args.f32 else _jnp.bfloat16)
 
     e = args.envs
