@@ -148,14 +148,18 @@ class SimConfig:
     scan_mode: str = "exact"
     rt_theta_bins: int = 128      # angular bins of the range texture
     rt_pose_stride: int = 2       # texture cell = stride * map resolution
-    # fast-scan epilogue backend.  "auto" (default): on TPU, edge mode uses
-    # the fused Pallas epilogue (ops/pallas_scan.py) — the edge pipeline's
-    # (rows, 3, 3B) tap intermediate costs ~1.3 GB/step of HBM traffic at
-    # 16k 2-agent envs in plain XLA, measured 3x slower end-to-end; the
-    # kernel keeps the taps in VMEM and writes only the rendered scan.
-    # Everywhere else "auto" = "xla": there the tail is cheap and XLA fuses
-    # it into the scan's consumers (noise/iTTC/policy), where the Pallas
-    # call was measured ~8% slower as a fusion barrier.  Explicit
+    # fast-scan epilogue backend.  "auto" (default) currently resolves to
+    # "xla" everywhere: the fused Pallas edge epilogue (ops/pallas_scan.py)
+    # avoids the edge pipeline's (rows, 3, 3B) tap intermediate (~1.3
+    # GB/step of HBM traffic at 16k 2-agent envs in plain XLA) by keeping
+    # the taps in VMEM, but its first live dispatch through this
+    # environment's relayed TPU hung the backend, and it has not yet been
+    # verified on real hardware — so "auto" stays on the (2-tap, optionally
+    # bfloat16, see rt_ew_dtype) XLA fallback until a killable probe proves
+    # the Mosaic path (bench.py preflights exactly that and opts in).
+    # Where eff_occlusion is "off" the XLA tail is cheap regardless and
+    # fuses into the scan's consumers (noise/iTTC/policy); the Pallas call
+    # was measured ~8% slower there as a fusion barrier.  Explicit
     # "xla"/"pallas" override ("pallas" supports eff_occlusion "off" and
     # "edge", not "snap").
     scan_backend: str = "auto"

@@ -363,22 +363,18 @@ def batch_axes(axis: int = 0) -> "RangeTexture":
 
 
 def _use_pallas(cfg: SimConfig) -> bool:
-    # "auto": edge mode resolves to the fused Pallas epilogue ON TPU — the
-    # edge pipeline's (rows, 3, 3B) XLA intermediate costs ~1.3 GB/step of
-    # HBM traffic at 16k 2-agent envs (measured 3x slower end-to-end than
-    # spectral); the kernel keeps all taps in VMEM.  For eff_occ="off" the
-    # XLA tail is cheap and fuses into the scan's consumers, where the
-    # Pallas call was measured ~8% slower as a fusion barrier (see
-    # docs/performance.md) — "auto" keeps XLA there.  Trace-time backend
-    # dispatch: which path compiles depends on the machine tracing it,
-    # like any other cfg field.
-    if cfg.scan_backend == "pallas":
-        return True
-    if cfg.scan_backend == "auto":
-        import jax as _jax
-        return (cfg.rt_eff_occlusion == "edge"
-                and _jax.default_backend() == "tpu")
-    return False
+    # "auto" resolves to XLA for now.  The fused Pallas edge epilogue
+    # exists to kill the edge pipeline's (rows, 3, 3B) XLA tap
+    # intermediate (~1.3 GB/step of HBM traffic at 16k 2-agent envs), but
+    # its first live dispatch through this environment's relayed TPU hung
+    # the backend and it is still unverified on real hardware — defaulting
+    # into it would risk hanging any caller that jits the default config
+    # on TPU.  Callers that can afford a killable probe (bench.py) opt in
+    # with scan_backend="pallas" after the probe passes.  For
+    # eff_occ="off" the XLA tail is cheap anyway and fuses into the scan's
+    # consumers, where the Pallas call was measured ~8% slower as a fusion
+    # barrier (docs/performance.md).
+    return cfg.scan_backend == "pallas"
 
 
 def _compute_dtype(rtex: RangeTexture):
@@ -474,9 +470,8 @@ def use_fused_ttc(cfg: SimConfig) -> bool:
     if cfg.fuse_scan_ttc == "on":
         if not ok:
             raise ValueError(
-                "fuse_scan_ttc='on' needs scan_mode='fast', a Pallas-"
-                "capable backend (scan_backend 'pallas', or 'auto' on TPU "
-                "for edge mode), rt_occlusion='edge' OR scan_interp="
+                "fuse_scan_ttc='on' needs scan_mode='fast', "
+                "scan_backend='pallas', rt_occlusion='edge' OR scan_interp="
                 f"'spectral', and num_agents dividing {_ps.ROW_TILE}")
         return True
     return False      # "auto": off pending on-chip A/B measurement

@@ -22,7 +22,9 @@ VARIANTS = {
     "linear/occl-off+grad": dict(rt_occlusion="off"),
     "linear/snap+grad": dict(rt_occlusion="snap"),
     "default(edge+grad)": {},
-    # r3 session-3 levers (pallas edge epilogue active via auto on TPU)
+    # r3 session-3 levers (the pallas edge epilogue is explicit opt-in
+    # until verified on chip; "auto" == xla)
+    "edge/pallas": dict(scan_backend="pallas"),
     "edge/xla-fallback": dict(scan_backend="xla"),
     "edge/fused-ttc": dict(fuse_scan_ttc="on", scan_backend="pallas"),
     "edge/fused-ttc+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
