@@ -30,6 +30,8 @@ VARIANTS = {
     "edge/fused-ttc+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
                                 noise_mode="pool"),
     "edge/nonoise": dict(scan_noise_std=0.0),
+    "ultra/pool": dict(scan_interp="spectral", rt_grad=False,
+                       rt_occlusion="off", noise_mode="pool"),
     "ultra/fused-ttc": dict(scan_interp="spectral", rt_grad=False,
                             rt_occlusion="off", fuse_scan_ttc="on",
                             scan_backend="pallas"),
