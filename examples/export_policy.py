@@ -38,6 +38,11 @@ def main():
                          "instead of exporting")
     ap.add_argument("--batch", type=int, default=64,
                     help="--serve benchmark batch size")
+    ap.add_argument("--race", type=str, default=None,
+                    help="load an exported artifact and drive it closed-"
+                         "loop in the simulator (the on-car integration "
+                         "smoke: artifact in, laps out)")
+    ap.add_argument("--race-steps", type=int, default=3000)
     args = ap.parse_args()
 
     import jax
@@ -63,6 +68,33 @@ def main():
         print(f"controls[0] = {np.asarray(out)[0]}; "
               f"{1e6 * dt:.0f} us/call at batch {args.batch} "
               f"({args.batch / dt:,.0f} agents/s)")
+        return
+
+    if args.race:
+        from red_gym_tpu.config import Integrator
+        from red_gym_tpu import env as envlib
+        from red_gym_tpu.assets import example_map_yaml
+
+        racer = ex.load_policy(args.race)
+        env = envlib.make(map=example_map_yaml(), map_ext=".png",
+                          num_agents=2, timestep=0.01,
+                          integrator=Integrator.RK4, scan_mode="fast")
+        obs, *_ = env.reset(np.array([[0.7, 0.0, 1.37079632679],
+                                      [0.7, -1.0, 1.37079632679]]))
+        speeds, crashes = [], 0
+        for t in range(args.race_steps):
+            scan = jnp.asarray(obs["scans"][0:1], jnp.float32)
+            vel = jnp.asarray(obs["linear_vels_x"][0:1], jnp.float32)
+            ego = np.asarray(racer.call(scan, vel))[0]
+            act = np.array([ego, [0.0, 2.0]])     # opponent: slow cruise
+            obs, _, done, _ = env.step(act)
+            speeds.append(float(obs["linear_vels_x"][0]))
+            crashes += int(obs["collisions"][0])
+            if done:
+                break
+        print(f"raced {t + 1} steps: laps={int(obs['lap_counts'][0])}, "
+              f"mean speed {np.mean(speeds):.2f} m/s, "
+              f"collision steps {crashes}")
         return
 
     from red_gym_tpu.agents import ppo as ppolib
