@@ -41,9 +41,8 @@ STEPS = int(os.environ.get("BENCH_STEPS", 120))
 # "default" = library defaults; "ultra" = spectral/no-edge-channels;
 # BENCH_MODES=default skips the ultra line
 MODES = os.environ.get("BENCH_MODES", "ultra,default").split(",")
-# staggered grid spawns behind the start line
-START = np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
-                  for i in range(N_AGENTS)])
+# staggered grid spawns behind the start line (shared default)
+START = envlib.staggered_start_poses(N_AGENTS)
 
 
 _MODE_LABELS = {
@@ -60,15 +59,16 @@ _MODE_LABELS = {
 
 
 def _pallas_preflight() -> bool:
-    """True iff the fused edge kernel executes on this backend.
+    """True iff EVERY Mosaic kernel the bench may dispatch (edge epilogue,
+    edge+iTTC, spectral+iTTC) executes on this backend.
 
-    The edge modes dispatch to a Mosaic kernel on TPU (scan_backend
-    "auto"); a relay/toolchain that cannot run Mosaic would HANG the
-    bench, so probe it once in a killable subprocess and fall back to the
-    plain-XLA epilogue (slower, honestly labeled) if it fails."""
+    A relay/toolchain that cannot run Mosaic would HANG the bench, so
+    probe all of them once in a killable subprocess and fall back to the
+    plain-XLA epilogue (slower, honestly labeled) if any fails."""
     import subprocess
 
     code = """
+from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np, jax, jax.numpy as jnp
 from red_gym_tpu.ops import pallas_scan
 r = np.random.default_rng(0); K, T, B = 256, 128, 1080
@@ -87,7 +87,17 @@ out2, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
     jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
     jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
     30.0, 0.005, 2)
-print("PALLAS_OK", float(jnp.sum(out) + jnp.sum(out2) + jnp.sum(hit)),
+out3, hit3 = pallas_scan.theta_spectral_ttc(
+    jnp.asarray(r.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(r.normal(size=(T, B)), jnp.float32),
+    jnp.asarray(0.01 * r.normal(size=(K // 2, B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, 2)
+print("PALLAS_OK", float(jnp.sum(out) + jnp.sum(out2) + jnp.sum(hit)
+                         + jnp.sum(out3) + jnp.sum(hit3)),
       flush=True)
 """
     env = dict(os.environ)

@@ -165,6 +165,21 @@ class PPO:
         self.pcfg = pcfg
         self.policy = policy or ScanPolicy()
         self.opponent_plan = opponent_plan
+        # hook arity, decided here (not by a try/except at trace time,
+        # which would swallow genuine TypeErrors raised INSIDE 2-arg
+        # hooks): modern hooks take (obs, map_idx), pre-map_idx ones (obs)
+        self._opp_takes_map = None
+        if callable(opponent_plan):
+            import inspect
+            try:
+                ps = inspect.signature(opponent_plan).parameters.values()
+                n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD)
+                            for p in ps)
+                var_pos = any(p.kind == p.VAR_POSITIONAL for p in ps)
+                self._opp_takes_map = var_pos or n_pos >= 2
+            except (TypeError, ValueError):   # C callables etc.
+                self._opp_takes_map = True
         self.map_axis = map_axis   # 0 -> per-env maps (stacked tmap/rtex)
         # pluggable shaping: fn(cfg, obs, next_obs) -> (E,) rewards
         self.reward_fn = reward_fn or progress_collision_reward()
@@ -219,11 +234,9 @@ class PPO:
                                                obs.linear_vels_x)  # (E, A, 2)
                 others = action_to_control(mean, self.pcfg, self.cfg.jdtype)
             elif self.opponent_plan is not None:
-                try:
-                    others = self.opponent_plan(obs, map_idx)
-                except TypeError:
-                    # pre-map_idx hook signature fn(obs) — still supported
-                    others = self.opponent_plan(obs)
+                others = (self.opponent_plan(obs, map_idx)
+                          if self._opp_takes_map
+                          else self.opponent_plan(obs))
                 others = others.astype(self.cfg.jdtype)
             else:
                 others = jnp.broadcast_to(

@@ -345,6 +345,15 @@ def reset(cfg: SimConfig, params: EnvParams, poses, key, map_idx=None):
     return step(cfg, params, state, actions)
 
 
+def staggered_start_poses(num_agents: int) -> np.ndarray:
+    """Default (A, 3) grid spawn on the example map: agents staggered in
+    0.6 m ranks behind the reference's example start pose
+    (reference examples/config_example_map.yaml sx/sy/stheta).  The shared
+    default of the gymnasium adapters and bench.py."""
+    return np.array([[0.7 - 0.6 * (i // 2), -1.0 * (i % 2), 1.37079632679]
+                     for i in range(num_agents)])
+
+
 # ---------------------------------------------------------------------------
 # Stateful wrapper mirroring the reference gym API
 # ---------------------------------------------------------------------------

@@ -22,10 +22,37 @@ import numpy as np
 import gymnasium
 from gymnasium import spaces
 
-from red_gym_tpu.env import F110Env
+from red_gym_tpu.env import F110Env, staggered_start_poses
 
-# reference start pose on the example map (examples/config_example_map.yaml)
-_DEFAULT_POSE = np.array([[0.7, 0.0, 1.37079632679]])
+
+def single_obs_space(a: int, b: int) -> spaces.Dict:
+    """Per-env observation space (A agents, B beams) — shared by the
+    single-env and vector adapters."""
+    inf = np.inf
+    return spaces.Dict({
+        # gaussian beam noise is added after the max-range clamp
+        # (reference laser_models.py:450-452), so scans are unbounded
+        "scans": spaces.Box(-inf, inf, (a, b), np.float32),
+        "poses_x": spaces.Box(-inf, inf, (a,), np.float32),
+        "poses_y": spaces.Box(-inf, inf, (a,), np.float32),
+        "poses_theta": spaces.Box(-inf, inf, (a,), np.float32),
+        "linear_vels_x": spaces.Box(-inf, inf, (a,), np.float32),
+        "linear_vels_y": spaces.Box(-inf, inf, (a,), np.float32),
+        "ang_vels_z": spaces.Box(-inf, inf, (a,), np.float32),
+        "collisions": spaces.Box(0.0, 1.0, (a,), np.float32),
+        "lap_times": spaces.Box(0.0, inf, (a,), np.float32),
+        "lap_counts": spaces.Box(0.0, inf, (a,), np.float32),
+    })
+
+
+def action_space_box(vehicle, a: int) -> spaces.Box:
+    """Per-env (A, 2) steer/speed action box from the vehicle limits."""
+    lo = np.array([float(np.min(np.asarray(vehicle.s_min))),
+                   float(np.min(np.asarray(vehicle.v_min)))], np.float32)
+    hi = np.array([float(np.max(np.asarray(vehicle.s_max))),
+                   float(np.max(np.asarray(vehicle.v_max)))], np.float32)
+    return spaces.Box(low=np.tile(lo, (a, 1)), high=np.tile(hi, (a, 1)),
+                      dtype=np.float32)
 
 
 class F110GymnasiumEnv(gymnasium.Env):
@@ -44,31 +71,10 @@ class F110GymnasiumEnv(gymnasium.Env):
         self.render_mode = render_mode
         self.env = F110Env(**kwargs)
         cfg = self.env.cfg
-        a, b = cfg.num_agents, cfg.num_beams
-        p = self.env.params.vehicle
-        s_min = float(np.min(np.asarray(p.s_min)))
-        s_max = float(np.max(np.asarray(p.s_max)))
-        v_min = float(np.min(np.asarray(p.v_min)))
-        v_max = float(np.max(np.asarray(p.v_max)))
-        self.action_space = spaces.Box(
-            low=np.tile(np.array([s_min, v_min], np.float32), (a, 1)),
-            high=np.tile(np.array([s_max, v_max], np.float32), (a, 1)),
-            dtype=np.float32)
-        inf = np.inf
-        self.observation_space = spaces.Dict({
-            # gaussian beam noise is added after the max-range clamp
-            # (reference laser_models.py:450-452), so scans are unbounded
-            "scans": spaces.Box(-inf, inf, (a, b), np.float32),
-            "poses_x": spaces.Box(-inf, inf, (a,), np.float32),
-            "poses_y": spaces.Box(-inf, inf, (a,), np.float32),
-            "poses_theta": spaces.Box(-inf, inf, (a,), np.float32),
-            "linear_vels_x": spaces.Box(-inf, inf, (a,), np.float32),
-            "linear_vels_y": spaces.Box(-inf, inf, (a,), np.float32),
-            "ang_vels_z": spaces.Box(-inf, inf, (a,), np.float32),
-            "collisions": spaces.Box(0.0, 1.0, (a,), np.float32),
-            "lap_times": spaces.Box(0.0, inf, (a,), np.float32),
-            "lap_counts": spaces.Box(0.0, inf, (a,), np.float32),
-        })
+        self.action_space = action_space_box(self.env.params.vehicle,
+                                             cfg.num_agents)
+        self.observation_space = single_obs_space(cfg.num_agents,
+                                                  cfg.num_beams)
 
     @staticmethod
     def _obs(legacy: dict) -> dict:
@@ -81,10 +87,7 @@ class F110GymnasiumEnv(gymnasium.Env):
             self.env.seed = seed
         poses = None if options is None else options.get("poses")
         if poses is None:
-            a = self.env.cfg.num_agents
-            poses = np.array([[_DEFAULT_POSE[0, 0] - 0.6 * (i // 2),
-                               -1.0 * (i % 2), _DEFAULT_POSE[0, 2]]
-                              for i in range(a)])
+            poses = staggered_start_poses(self.env.cfg.num_agents)
         obs, _reward, _done, info = self.env.reset(np.asarray(poses))
         return self._obs(obs), info
 
@@ -119,7 +122,14 @@ def register():
     serves ``gymnasium.make_vec("f110-v0", num_envs=...)`` with the
     on-device batch (:mod:`red_gym_tpu.gym_vector`)."""
     if "f110-v0" not in gymnasium.registry:
-        gymnasium.register(
-            id="f110-v0",
-            entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv",
-            vector_entry_point="red_gym_tpu.gym_vector:F110VectorEnv")
+        try:
+            gymnasium.register(
+                id="f110-v0",
+                entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv",
+                vector_entry_point="red_gym_tpu.gym_vector:F110VectorEnv")
+        except TypeError:
+            # gymnasium < 1.0 has no vector_entry_point kwarg; register
+            # the single-env entry point so plain make() still works
+            gymnasium.register(
+                id="f110-v0",
+                entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv")

@@ -29,32 +29,12 @@ from __future__ import annotations
 import numpy as np
 
 import gymnasium
-from gymnasium import spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 from gymnasium.vector.utils import batch_space
 
+from red_gym_tpu.env import staggered_start_poses
+from red_gym_tpu.gym_adapter import action_space_box, single_obs_space
 from red_gym_tpu.vec_env import VecF110Env
-
-# reference start pose on the example map (examples/config_example_map.yaml)
-_DEFAULT_POSE = (0.7, 0.0, 1.37079632679)
-
-
-def _single_obs_space(a: int, b: int) -> spaces.Dict:
-    inf = np.inf
-    return spaces.Dict({
-        # gaussian beam noise is added after the max-range clamp
-        # (reference laser_models.py:450-452), so scans are unbounded
-        "scans": spaces.Box(-inf, inf, (a, b), np.float32),
-        "poses_x": spaces.Box(-inf, inf, (a,), np.float32),
-        "poses_y": spaces.Box(-inf, inf, (a,), np.float32),
-        "poses_theta": spaces.Box(-inf, inf, (a,), np.float32),
-        "linear_vels_x": spaces.Box(-inf, inf, (a,), np.float32),
-        "linear_vels_y": spaces.Box(-inf, inf, (a,), np.float32),
-        "ang_vels_z": spaces.Box(-inf, inf, (a,), np.float32),
-        "collisions": spaces.Box(0.0, 1.0, (a,), np.float32),
-        "lap_times": spaces.Box(0.0, inf, (a,), np.float32),
-        "lap_counts": spaces.Box(0.0, inf, (a,), np.float32),
-    })
 
 
 class F110VectorEnv(VectorEnv):
@@ -76,16 +56,10 @@ class F110VectorEnv(VectorEnv):
         self.vec = VecF110Env(num_envs=self.num_envs,
                               return_final_obs=True, **kwargs)
         cfg = self.vec.cfg
-        a, b = cfg.num_agents, cfg.num_beams
-        p = self.vec.params.vehicle
-        lo = np.array([float(np.min(np.asarray(p.s_min))),
-                       float(np.min(np.asarray(p.v_min)))], np.float32)
-        hi = np.array([float(np.max(np.asarray(p.s_max))),
-                       float(np.max(np.asarray(p.v_max)))], np.float32)
-        self.single_action_space = spaces.Box(
-            low=np.tile(lo, (a, 1)), high=np.tile(hi, (a, 1)),
-            dtype=np.float32)
-        self.single_observation_space = _single_obs_space(a, b)
+        self.single_action_space = action_space_box(self.vec.params.vehicle,
+                                                    cfg.num_agents)
+        self.single_observation_space = single_obs_space(cfg.num_agents,
+                                                         cfg.num_beams)
         self.action_space = batch_space(self.single_action_space,
                                         self.num_envs)
         self.observation_space = batch_space(self.single_observation_space,
@@ -102,10 +76,7 @@ class F110VectorEnv(VectorEnv):
             self.vec._key = jax.random.PRNGKey(seed)
         poses = None if options is None else options.get("poses")
         if poses is None:
-            a = self.vec.cfg.num_agents
-            poses = np.array([[_DEFAULT_POSE[0] - 0.6 * (i // 2),
-                               -1.0 * (i % 2), _DEFAULT_POSE[2]]
-                              for i in range(a)])
+            poses = staggered_start_poses(self.vec.cfg.num_agents)
         obs, _reward, _done, _info = self.vec.reset(np.asarray(poses))
         return self._np_obs(obs), {}
 

@@ -66,7 +66,10 @@ def _chunked(fn, arr, chunk):
     n = arr.shape[0]
     pad = (-n) % chunk
     if pad:
-        arr = jnp.concatenate([arr, arr[:pad]], axis=0)
+        # mode="wrap" stays correct when pad > n (tiny grids): arr[:pad]
+        # would under-fill and break the reshape below
+        arr = jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1),
+                      mode="wrap")
     stacked = arr.reshape(-1, chunk, *arr.shape[1:])
     out = jax.lax.map(fn, stacked)
     return out.reshape(-1, *out.shape[2:])[:n]

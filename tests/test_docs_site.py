@@ -12,6 +12,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
 def _load():
+    pytest.importorskip("markdown")
     spec = importlib.util.spec_from_file_location(
         "build_docs", os.path.join(ROOT, "tools", "build_docs.py"))
     mod = importlib.util.module_from_spec(spec)

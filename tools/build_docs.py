@@ -193,16 +193,16 @@ def main(outdir=None):
     outdir = outdir or os.path.join(ROOT, "docs", "_site")
     os.makedirs(outdir, exist_ok=True)
     api_reference(outdir)
+    # docs/index.md renders to index.html and doubles as the site root
+    # (no redirect: a redirect here would overwrite the rendered page)
     pages = render_pages(outdir, have_api=True)
-    with open(os.path.join(outdir, "index.html"), "w") as f:
-        f.write('<meta http-equiv="refresh" content="0; url=overview.html">')
     # committed curve plots/CSVs referenced by the pages (docs/media/...)
     media_src = os.path.join(ROOT, "docs", "media")
     if os.path.isdir(media_src):
         import shutil
         shutil.copytree(media_src, os.path.join(outdir, "media"),
                         dirs_exist_ok=True)
-    print(f"built {len(pages) + 2} pages -> {outdir}")
+    print(f"built {len(pages) + 1} pages -> {outdir}")
     return outdir
 
 

@@ -77,6 +77,25 @@ out, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
 print("PASS pallas-edge-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
       flush=True)
 """,
+    "pallas-spec-ttc": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+out, hit = pallas_scan.theta_spectral_ttc(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, B)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, A)
+print("PASS pallas-spec-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
     "env-step-default": """
 from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np
@@ -105,7 +124,8 @@ def main():
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     timeouts = {"xla": 120, "pallas-tiny": 300, "pallas-edge": 420,
-                "pallas-edge-ttc": 420, "env-step-default": 600}
+                "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
+                "env-step-default": 600}
     for name, code in STAGES.items():
         try:
             r = subprocess.run([sys.executable, "-c", code], env=env,
