@@ -18,6 +18,18 @@ def test_edt_matches_scipy_random(seed, shape):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(3, 64), (64, 3), (2, 2), (5, 7)])
+def test_edt_tiny_grids(shape):
+    """Dimensions smaller than the internal chunk (regression: wrap-pad
+    used arr[:pad], which under-fills when a dim < chunk)."""
+    rng = np.random.default_rng(7)
+    img = (rng.random(shape) > 0.3).astype(np.float32)
+    img.flat[0] = 0.0                      # ensure at least one wall
+    want = scipy_edt(img)
+    got = np.asarray(edt_ops.edt(jnp.asarray(img)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
 def test_edt_resolution_scaling_and_degenerate():
     img = np.ones((32, 32), np.float32)
     img[10, 7] = 0.0

@@ -28,6 +28,26 @@ def test_registration():
     assert "f110-v0" in gymnasium.registry
 
 
+def test_register_falls_back_without_vector_entry_point(monkeypatch):
+    """gymnasium < 1.0 has no vector_entry_point kwarg; register() must
+    still register the single-env id instead of crashing the import."""
+    from red_gym_tpu import gym_adapter
+
+    calls = []
+
+    def fake_register(**kw):
+        if "vector_entry_point" in kw:
+            raise TypeError("unexpected keyword argument "
+                            "'vector_entry_point'")
+        calls.append(kw)
+
+    monkeypatch.setattr(gymnasium, "register", fake_register)
+    monkeypatch.setattr(gymnasium, "registry", {})   # force re-registration
+    gym_adapter.register()
+    assert calls and calls[0]["id"] == "f110-v0"
+    assert "vector_entry_point" not in calls[0]
+
+
 def test_gymnasium_api_roundtrip():
     env = gymnasium.make("f110-v0", **KW)
     obs, info = env.reset(options={"poses": np.array([[0.0, 0.0, 0.0]])})
