@@ -140,26 +140,30 @@ def theta_shuffle_blend(spec_r, f_s, wsum, gmat, c_frac, max_range: float):
 # parallax-corrected ramp is rendered in registers and only the final
 # (rows, beams) scan is written out.
 
-def _edge_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
-                 g0_ref, g1_ref, g2_ref, cf_ref, out_ref, *, max_range):
-    sr = specr_ref[:]                                        # (RT, T) f32
-    g0 = jnp.dot(sr, g0_ref[:], preferred_element_type=sr.dtype)
-    g1 = jnp.dot(sr, g1_ref[:], preferred_element_type=sr.dtype)
-    g2 = jnp.dot(sr, g2_ref[:], preferred_element_type=sr.dtype)
+def _edge_render_tile(sr, se_f32, sw_f32, g0m, g1m, g2m, fs, wsum, cf,
+                      max_range):
+    """Shared edge-ramp render body (values already loaded from VMEM refs):
+    3 f32 range-tap matmuls, 4 bf16 channel-tap matmuls, parallax ramp.
+    Used verbatim by the plain edge kernel and the edge+iTTC kernel —
+    one formula, two launch configurations.
 
-    # channel taps at the pair's two bins only (blocks 0 and 1) — bf16
-    # inputs, f32 accumulate: full MXU rate, error ~2^-8 relative on a
-    # [0, 1] channel, negligible against the 2^-6-bin build precision
-    se = spece_ref[:].astype(jnp.bfloat16)
-    sw = specw_ref[:].astype(jnp.bfloat16)
-    g0b = g0_ref[:].astype(jnp.bfloat16)
-    g1b = g1_ref[:].astype(jnp.bfloat16)
+    Channel taps use the pair's two bins only (blocks 0 and 1) — bf16
+    inputs, f32 accumulate: full MXU rate, error ~2^-8 relative on a
+    [0, 1] channel, negligible against the 2^-6-bin build precision."""
+    g0 = jnp.dot(sr, g0m, preferred_element_type=sr.dtype)
+    g1 = jnp.dot(sr, g1m, preferred_element_type=sr.dtype)
+    g2 = jnp.dot(sr, g2m, preferred_element_type=sr.dtype)
+
+    se = se_f32.astype(jnp.bfloat16)
+    sw = sw_f32.astype(jnp.bfloat16)
+    g0b = g0m.astype(jnp.bfloat16)
+    g1b = g1m.astype(jnp.bfloat16)
     e_a = jnp.dot(se, g0b, preferred_element_type=sr.dtype)
     e_b = jnp.dot(se, g1b, preferred_element_type=sr.dtype)
     w_a = jnp.dot(sw, g0b, preferred_element_type=sr.dtype)
     w_b = jnp.dot(sw, g1b, preferred_element_type=sr.dtype)
 
-    alpha = fs_ref[:] + cf_ref[:]                            # (RT,1)+(1,BT)
+    alpha = fs + cf                                          # (RT,1)+(1,BT)
     lt = alpha < 1.0
     frac = alpha - jnp.floor(alpha)
     ga = jnp.where(lt, g0, g1)
@@ -168,8 +172,49 @@ def _edge_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
     w_sel = jnp.clip(jnp.where(lt, w_a, w_b), 1.0 / 32.0, 1.0)
     aa = jnp.clip((frac - (e_sel - 0.5 * w_sel)) / w_sel, 0.0, 1.0)
     out = ga + aa * (gb - ga)
-    out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
-    out_ref[:] = jnp.clip(out, 0.0, max_range)
+    out = jnp.where(wsum > 0.0, out, 0.0)
+    return jnp.clip(out, 0.0, max_range)
+
+
+def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
+                    ttc_thresh):
+    """Shared fused-consumer tail: expand the per-env noise slab across
+    agent rows in VMEM, add it, and compute the per-(beam-tile, row) iTTC
+    partial on the noisy scan (agent_scan.check_ttc, division-free
+    sign-split form), masked to real beams (the last beam tile is padded:
+    its tap garbage must not raise phantom hits).  Returns
+    (noisy_out (RT, BT), partial (1, RT))."""
+    rt, bt = out.shape
+    n = jnp.broadcast_to(noise[:, None, :],
+                         (rt // agents_per_env, agents_per_env, bt)
+                         ).reshape(rt, bt)
+    out = out + n
+
+    j = pl.program_id(0)
+    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+               ) < n_beams
+    pv = vel * cos                                           # (RT,1)*(1,BT)
+    num = out - side
+    hit = jnp.where(pv > 0.0,
+                    (num >= 0.0) & (num < ttc_thresh * pv),
+                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
+    # per-beam-tile partial reduce; the (jn, K) output gives every grid
+    # step its own block (an output block revisited at non-consecutive
+    # grid steps is undefined on TPU — the beam axis is the OUTER grid
+    # dim here, so accumulating in-place across j would be one), and the
+    # tiny final max over jn partials runs in XLA.  (1, RT) output block:
+    # row-tile lanes (multiple of 128) rather than a single-lane (RT, 1)
+    # column — the Mosaic-friendly layout.
+    one = jnp.ones((), out.dtype)
+    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
+    return out, partial[None, :]
+
+
+def _edge_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
+                 g0_ref, g1_ref, g2_ref, cf_ref, out_ref, *, max_range):
+    out_ref[:] = _edge_render_tile(
+        specr_ref[:], spece_ref[:], specw_ref[:], g0_ref[:], g1_ref[:],
+        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range)
 
 
 @functools.lru_cache(maxsize=None)
@@ -267,61 +312,12 @@ def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
                      vel_ref, g0_ref, g1_ref, g2_ref, cf_ref, noise_ref,
                      cos_ref, side_ref, out_ref, hit_ref, *,
                      max_range, ttc_thresh, agents_per_env, n_beams):
-    sr = specr_ref[:]                                        # (RT, T) f32
-    g0 = jnp.dot(sr, g0_ref[:], preferred_element_type=sr.dtype)
-    g1 = jnp.dot(sr, g1_ref[:], preferred_element_type=sr.dtype)
-    g2 = jnp.dot(sr, g2_ref[:], preferred_element_type=sr.dtype)
-
-    se = spece_ref[:].astype(jnp.bfloat16)
-    sw = specw_ref[:].astype(jnp.bfloat16)
-    g0b = g0_ref[:].astype(jnp.bfloat16)
-    g1b = g1_ref[:].astype(jnp.bfloat16)
-    e_a = jnp.dot(se, g0b, preferred_element_type=sr.dtype)
-    e_b = jnp.dot(se, g1b, preferred_element_type=sr.dtype)
-    w_a = jnp.dot(sw, g0b, preferred_element_type=sr.dtype)
-    w_b = jnp.dot(sw, g1b, preferred_element_type=sr.dtype)
-
-    alpha = fs_ref[:] + cf_ref[:]                            # (RT,1)+(1,BT)
-    lt = alpha < 1.0
-    frac = alpha - jnp.floor(alpha)
-    ga = jnp.where(lt, g0, g1)
-    gb = jnp.where(lt, g1, g2)
-    e_sel = jnp.clip(jnp.where(lt, e_a, e_b), 0.0, 1.0)
-    w_sel = jnp.clip(jnp.where(lt, w_a, w_b), 1.0 / 32.0, 1.0)
-    aa = jnp.clip((frac - (e_sel - 0.5 * w_sel)) / w_sel, 0.0, 1.0)
-    out = ga + aa * (gb - ga)
-    out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
-    out = jnp.clip(out, 0.0, max_range)
-
-    # noise add: expand the (RT/A, BT) env slab across agent rows in VMEM
-    rt, bt = out.shape
-    n = noise_ref[:]                                         # (RT/A, BT)
-    n = jnp.broadcast_to(n[:, None, :], (rt // agents_per_env,
-                                         agents_per_env, bt)).reshape(rt, bt)
-    out = out + n
-    out_ref[:] = out
-
-    # iTTC wall check on the noisy scan (agent_scan.check_ttc, division-
-    # free sign-split form), masked to real beams (the last beam tile is
-    # padded: its tap garbage must not raise phantom hits)
-    j = pl.program_id(0)
-    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
-               ) < n_beams
-    pv = vel_ref[:] * cos_ref[:]                             # (RT,1)*(1,BT)
-    num = out - side_ref[:]
-    hit = jnp.where(pv > 0.0,
-                    (num >= 0.0) & (num < ttc_thresh * pv),
-                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
-    # per-beam-tile partial reduce; the (jn, K, 1) output gives every grid
-    # step its own block (an output block revisited at non-consecutive
-    # grid steps is undefined on TPU — the beam axis is the OUTER grid
-    # dim here, so accumulating in-place across j would be one), and the
-    # tiny final max over jn partials runs in XLA
-    # (1, RT) output block: row-tile lanes (multiple of 128) rather than a
-    # single-lane (RT, 1) column — the Mosaic-friendly layout
-    one = jnp.ones((), sr.dtype)
-    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
-    hit_ref[:] = partial[None, :]                            # (1, RT)
+    out = _edge_render_tile(
+        specr_ref[:], spece_ref[:], specw_ref[:], g0_ref[:], g1_ref[:],
+        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range)
+    out_ref[:], hit_ref[:] = _noise_ttc_tile(
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
+        agents_per_env, n_beams, ttc_thresh)
 
 
 @functools.lru_cache(maxsize=None)
@@ -437,25 +433,9 @@ def _spec_ttc_kernel(spec_ref, wsum_ref, vel_ref, smat_ref, noise_ref,
     out = jnp.dot(s, smat_ref[:], preferred_element_type=s.dtype)
     out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
     out = jnp.clip(out, 0.0, max_range)
-
-    rt, bt = out.shape
-    n = noise_ref[:]                                         # (RT/A, BT)
-    n = jnp.broadcast_to(n[:, None, :], (rt // agents_per_env,
-                                         agents_per_env, bt)).reshape(rt, bt)
-    out = out + n
-    out_ref[:] = out
-
-    j = pl.program_id(0)
-    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
-               ) < n_beams
-    pv = vel_ref[:] * cos_ref[:]
-    num = out - side_ref[:]
-    hit = jnp.where(pv > 0.0,
-                    (num >= 0.0) & (num < ttc_thresh * pv),
-                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
-    one = jnp.ones((), s.dtype)
-    partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
-    hit_ref[:] = partial[None, :]                            # (1, RT)
+    out_ref[:], hit_ref[:] = _noise_ttc_tile(
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
+        agents_per_env, n_beams, ttc_thresh)
 
 
 @functools.lru_cache(maxsize=None)

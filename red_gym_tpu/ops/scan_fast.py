@@ -72,7 +72,6 @@ def _texture_cache_path(tmap: TrackMap, cfg: SimConfig):
     "0"/"off" to disable.
     """
     import hashlib
-    import os
 
     root = os.environ.get("RED_GYM_TPU_TEXTURE_CACHE",
                           os.path.join(os.path.expanduser("~"),
@@ -80,16 +79,26 @@ def _texture_cache_path(tmap: TrackMap, cfg: SimConfig):
     if root.lower() in ("0", "off", "none", ""):
         return None
     h = hashlib.sha256()
-    h.update(b"rtex-v7|")   # build-recipe version (v7: e pinned to 0.5 by w)
-    h.update(np.ascontiguousarray(np.asarray(tmap.dt)).tobytes())
-    for v in (cfg.rt_pose_stride, cfg.rt_theta_bins, cfg.max_range, cfg.eps,
-              cfg.march_iters,   # trace_angles: fixed fori budget vs while
-              cfg.rt_eff_occlusion == "edge", cfg.rt_grad,
-              cfg.rt_occlusion_cells, cfg.rt_edge_iters,
-              float(np.asarray(tmap.resolution)),
-              float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y)),
-              str(np.dtype(tmap.dt.dtype))):
-        h.update(repr(v).encode())
+    h.update(b"rtex-v8|")   # build-recipe version (v8: delimited key tuple
+                            # incl. rotation/extents/shape; v7: e pinned)
+    dt = np.ascontiguousarray(np.asarray(tmap.dt))
+    h.update(dt.tobytes())
+    # hash one delimited repr of the full key tuple — undelimited per-field
+    # repr streams can alias across adjacent fields (e.g. 2|128 vs 21|28).
+    # The march reads the map's world placement (origin + ROTATION via
+    # rows_to_world) and the true extents (the validity crop), so they are
+    # part of the key even though dt bytes don't change with them; dt.shape
+    # disambiguates byte-identical (H,W)/(W,H) transposes.
+    key = (cfg.rt_pose_stride, cfg.rt_theta_bins, cfg.max_range, cfg.eps,
+           cfg.march_iters,   # trace_angles: fixed fori budget vs while
+           cfg.rt_eff_occlusion == "edge", cfg.rt_grad,
+           cfg.rt_occlusion_cells, cfg.rt_edge_iters,
+           float(np.asarray(tmap.resolution)),
+           float(np.asarray(tmap.orig_x)), float(np.asarray(tmap.orig_y)),
+           float(np.asarray(tmap.orig_c)), float(np.asarray(tmap.orig_s)),
+           int(np.asarray(tmap.height)), int(np.asarray(tmap.width)),
+           tuple(dt.shape), str(np.dtype(tmap.dt.dtype)))
+    h.update(repr(key).encode())
     return os.path.join(root, f"rtex_{h.hexdigest()[:24]}.npz")
 
 
@@ -183,7 +192,6 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
             samples.append(nxt)
             m = jnp.stack(samples, axis=0)            # (n_grid+1, B, Wc, T)
             d = jnp.abs(m[1:] - m[:-1])               # (n_grid, ...)
-            dmax = jnp.max(d, axis=0)
             jidx = jnp.argmax(d, axis=0)
             lo = jidx.astype(dtype) / n_grid
             hi = (jidx.astype(dtype) + 1.0) / n_grid
@@ -509,6 +517,16 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     two_pi = 2.0 * math.pi
     n_chan = cfg.rt_channels
     eff_occ = cfg.rt_eff_occlusion
+    if fused_ttc is not None and not (
+            _use_pallas(cfg)
+            and (eff_occ == "edge" or cfg.scan_interp == "spectral")):
+        # without a fused branch the (noise, vel) operands would be
+        # silently dropped and a bare scan returned where the caller
+        # expects a (scan, hit) tuple — fail loudly instead (the gate
+        # callers use is use_fused_ttc())
+        raise ValueError(
+            "fused_ttc needs scan_backend='pallas' and rt_occlusion='edge' "
+            "or scan_interp='spectral' — this config has no fused epilogue")
     rows, wgt, _, dx, dy = _cells_and_theta(pose, tables, tmap, rtex, cfg,
                                             midx)
 
@@ -718,10 +736,8 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         ew_dtype = dtype
         if cfg.rt_ew_dtype == "bfloat16":
             ew_dtype = jnp.bfloat16
-        elif cfg.rt_ew_dtype == "auto":
-            import jax as _jax
-            if _jax.default_backend() == "tpu":
-                ew_dtype = jnp.bfloat16
+        elif cfg.rt_ew_dtype == "auto" and jax.default_backend() == "tpu":
+            ew_dtype = jnp.bfloat16
         g = jnp.matmul(spec_r[..., 0, :], rtex.gmat,
                        preferred_element_type=dtype)            # (..., 3B)
         g_ew = jnp.matmul(spec_r[..., 1:, :].astype(ew_dtype),
