@@ -138,8 +138,8 @@ def test_vector_env_autoresets_crashed_envs():
     # terminal obs carries the collision flag and the at-the-wall pose
     # (velocity is zero in BOTH: the iTTC hit freezes dynamic state within
     # the crash step, reference base_classes.py:227-252)
-    assert abs(float(obs["poses_x"][e])) < 1.0
-    assert float(obs["collisions"][e]) == 0.0
-    assert float(infos["final_obs"]["collisions"][e]) == 1.0
-    assert float(infos["final_obs"]["poses_x"][e]) > 1.0
+    assert abs(float(obs["poses_x"][e, 0])) < 1.0
+    assert float(obs["collisions"][e, 0]) == 0.0
+    assert float(infos["final_obs"]["collisions"][e, 0]) == 1.0
+    assert float(infos["final_obs"]["poses_x"][e, 0]) > 1.0
     envs.close()
