@@ -57,6 +57,14 @@ _MODE_LABELS = {
     "ultrafused": "ultra (spectral) + fuse_scan_ttc=on (noise+iTTC in-kernel)",
 }
 
+# the r2-era per-knob vars were replaced by the BENCH_MODES matrix; warn
+# loudly instead of silently measuring something else than asked for
+for _legacy in ("BENCH_SCAN_MODE", "BENCH_SCAN_INTERP", "BENCH_RT_SPATIAL"):
+    if _legacy in os.environ:
+        print(f"WARNING: {_legacy} is ignored (removed in round 3) — "
+              f"pick a BENCH_MODES entry instead: {sorted(_MODE_LABELS)}",
+              file=sys.stderr, flush=True)
+
 
 def _pallas_preflight() -> bool:
     """True iff EVERY Mosaic kernel the bench may dispatch (edge epilogue,

@@ -28,10 +28,13 @@ def make_vec(map, num_envs, **kwargs):
 
 # register 'f110-v0' with gymnasium when it is installed (the reference
 # registers 'f110_gym:f110-v0' on import, gym/f110_gym/__init__.py:1-5);
-# reference scripts on classic gym use red_gym_tpu.gym_compat instead
+# reference scripts on classic gym use red_gym_tpu.gym_compat instead.
+# _registration imports only gymnasium — the adapter (and jax) load at
+# first make(), and a genuine ImportError inside the adapter surfaces
+# there instead of being swallowed here.
 try:
-    from red_gym_tpu import gym_adapter as _gym_adapter
+    from red_gym_tpu import _registration as _reg
 
-    _gym_adapter.register()
+    _reg.register()
 except ImportError:  # gymnasium not installed — adapter is optional
     pass

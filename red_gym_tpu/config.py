@@ -124,9 +124,10 @@ class SimConfig:
     # scan-noise generation.  "fresh" (default): one threefry N(0, sigma)
     # draw per env per step — exact gaussian, fresh stream (reference
     # semantics, laser_models.py:450-452).  "pool": precompute
-    # noise_pool_rows gaussian beam-rows once; each env/step picks a row by
-    # a folded counter (one contiguous row fetch instead of 17M
-    # transcendentals/step at 16k envs).  Same marginal distribution,
+    # noise_pool_rows gaussian beam-rows once; each env/step draws ONE row
+    # index from its per-step RNG key (env._noise_row: a single randint +
+    # contiguous row fetch instead of 17M transcendentals/step at 16k
+    # envs).  Same marginal distribution,
     # deterministic under the same key; rows recur across envs/steps —
     # fine for sensor noise, not for anything cryptographic.
     noise_mode: str = "fresh"
@@ -225,8 +226,11 @@ class SimConfig:
     # by <0.2% of a theta bin — far inside the edge channel's own bisection
     # precision (rt_edge_iters) — while halving the tap-intermediate HBM
     # bytes, the measured bottleneck of the XLA edge path.  "auto": bfloat16
-    # when tracing for TPU, float32 elsewhere (CPU matmuls have no fast
-    # bf16 path).  Irrelevant to the Pallas backend (taps live in VMEM).
+    # when tracing for TPU, the scan dtype elsewhere (CPU matmuls have no
+    # fast bf16 path); "float32" means "no bf16" (f64 scans keep f64 taps).
+    # Honored by BOTH edge epilogues — in the Pallas kernel the taps live
+    # in VMEM either way, but the matmul compute dtype follows this knob
+    # (ops/scan_fast._resolve_ew_dtype, one rule for both backends).
     rt_ew_dtype: str = "auto"
     # fuse the scan's elementwise CONSUMERS (per-env sensor-noise add +
     # wall-iTTC check) into the Pallas edge epilogue: the env step reads

@@ -118,18 +118,9 @@ class F110GymnasiumEnv(gymnasium.Env):
 
 def register():
     """Idempotently register ``f110-v0`` with gymnasium (the reference's
-    gym.register id, gym/f110_gym/__init__.py:1-5).  The vector entry point
-    serves ``gymnasium.make_vec("f110-v0", num_envs=...)`` with the
-    on-device batch (:mod:`red_gym_tpu.gym_vector`)."""
-    if "f110-v0" not in gymnasium.registry:
-        try:
-            gymnasium.register(
-                id="f110-v0",
-                entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv",
-                vector_entry_point="red_gym_tpu.gym_vector:F110VectorEnv")
-        except TypeError:
-            # gymnasium < 1.0 has no vector_entry_point kwarg; register
-            # the single-env entry point so plain make() still works
-            gymnasium.register(
-                id="f110-v0",
-                entry_point="red_gym_tpu.gym_adapter:F110GymnasiumEnv")
+    gym.register id, gym/f110_gym/__init__.py:1-5).  Delegates to
+    :mod:`red_gym_tpu._registration` (the import-light module the package
+    __init__ uses) so there is exactly one registration recipe."""
+    from red_gym_tpu import _registration
+
+    _registration.register()

@@ -134,30 +134,32 @@ def theta_shuffle_blend(spec_r, f_s, wsum, gmat, c_frac, max_range: float):
 # tail.  In plain XLA the (rows, 3, 3B) intermediate round-trips HBM —
 # ~1.3 GB/step at 16k 2-agent envs, measured 3x slower end-to-end than the
 # spectral mode.  Here the taps never leave VMEM: per tile, three f32 MXU
-# passes produce the range taps and four bfloat16 passes (e/w values live in
-# [0, 1]-ish ranges where bf16's 2^-8 relative error is far below the
-# build-time edge precision of 2^-6 bins) produce the channel taps, then the
-# parallax-corrected ramp is rendered in registers and only the final
-# (rows, beams) scan is written out.
+# passes produce the range taps and four passes at cfg.rt_ew_dtype — bf16 on
+# TPU by default: e/w values live in [0, 1]-ish ranges where bf16's 2^-8
+# relative error is far below the build-time edge precision of 2^-6 bins —
+# produce the channel taps, then the parallax-corrected ramp is rendered in
+# registers and only the final (rows, beams) scan is written out.
 
 def _edge_render_tile(sr, se_f32, sw_f32, g0m, g1m, g2m, fs, wsum, cf,
-                      max_range):
+                      max_range, ew_dtype):
     """Shared edge-ramp render body (values already loaded from VMEM refs):
-    3 f32 range-tap matmuls, 4 bf16 channel-tap matmuls, parallax ramp.
-    Used verbatim by the plain edge kernel and the edge+iTTC kernel —
-    one formula, two launch configurations.
+    3 f32 range-tap matmuls, 4 channel-tap matmuls at `ew_dtype`, parallax
+    ramp.  Used verbatim by the plain edge kernel and the edge+iTTC kernel
+    — one formula, two launch configurations.
 
-    Channel taps use the pair's two bins only (blocks 0 and 1) — bf16
-    inputs, f32 accumulate: full MXU rate, error ~2^-8 relative on a
-    [0, 1] channel, negligible against the 2^-6-bin build precision."""
+    Channel taps use the pair's two bins only (blocks 0 and 1).  At the
+    bf16 default: bf16 inputs, f32 accumulate — full MXU rate, error
+    ~2^-8 relative on a [0, 1] channel, negligible against the 2^-6-bin
+    build precision.  cfg.rt_ew_dtype="float32" opts into full-precision
+    taps (same resolution rule as the XLA edge epilogue)."""
     g0 = jnp.dot(sr, g0m, preferred_element_type=sr.dtype)
     g1 = jnp.dot(sr, g1m, preferred_element_type=sr.dtype)
     g2 = jnp.dot(sr, g2m, preferred_element_type=sr.dtype)
 
-    se = se_f32.astype(jnp.bfloat16)
-    sw = sw_f32.astype(jnp.bfloat16)
-    g0b = g0m.astype(jnp.bfloat16)
-    g1b = g1m.astype(jnp.bfloat16)
+    se = se_f32.astype(ew_dtype)
+    sw = sw_f32.astype(ew_dtype)
+    g0b = g0m.astype(ew_dtype)
+    g1b = g1m.astype(ew_dtype)
     e_a = jnp.dot(se, g0b, preferred_element_type=sr.dtype)
     e_b = jnp.dot(se, g1b, preferred_element_type=sr.dtype)
     w_a = jnp.dot(sw, g0b, preferred_element_type=sr.dtype)
@@ -211,14 +213,15 @@ def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
 
 
 def _edge_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
-                 g0_ref, g1_ref, g2_ref, cf_ref, out_ref, *, max_range):
+                 g0_ref, g1_ref, g2_ref, cf_ref, out_ref, *, max_range,
+                 ew_dtype):
     out_ref[:] = _edge_render_tile(
         specr_ref[:], spece_ref[:], specw_ref[:], g0_ref[:], g1_ref[:],
-        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range)
+        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range, ew_dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_edge(max_range: float):
+def _make_edge(max_range: float, ew_dtype):
     @jax.custom_batching.custom_vmap
     def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat,
                                  c_frac):
@@ -246,7 +249,8 @@ def _make_edge(max_range: float):
         scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
                                  memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_edge_kernel, max_range=max_range),
+            functools.partial(_edge_kernel, max_range=max_range,
+                              ew_dtype=ew_dtype),
             out_shape=jax.ShapeDtypeStruct((k_n, b_n), dtype),
             grid=grid,
             in_specs=[row_spec, row_spec, row_spec, scal_spec, scal_spec,
@@ -284,10 +288,13 @@ def _make_edge(max_range: float):
 
 
 def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac,
-                             max_range: float):
-    """Fused shuffle-matmul + edge-ramp rendering (see module comment)."""
-    return _make_edge(float(max_range))(spec_r, spec_e, spec_w, f_s, wsum,
-                                        gmat, c_frac)
+                             max_range: float, ew_dtype=jnp.bfloat16):
+    """Fused shuffle-matmul + edge-ramp rendering (see module comment).
+    `ew_dtype` is the channel-tap matmul dtype (cfg.rt_ew_dtype resolved
+    by the caller; bf16 default keeps full MXU rate on the [0,1] e/w
+    channels)."""
+    return _make_edge(float(max_range), jnp.dtype(ew_dtype).name)(
+        spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac)
 
 
 # ---------------------------------------------------------------------------
@@ -311,17 +318,19 @@ def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac,
 def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
                      vel_ref, g0_ref, g1_ref, g2_ref, cf_ref, noise_ref,
                      cos_ref, side_ref, out_ref, hit_ref, *,
-                     max_range, ttc_thresh, agents_per_env, n_beams):
+                     max_range, ttc_thresh, agents_per_env, n_beams,
+                     ew_dtype):
     out = _edge_render_tile(
         specr_ref[:], spece_ref[:], specw_ref[:], g0_ref[:], g1_ref[:],
-        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range)
+        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range, ew_dtype)
     out_ref[:], hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
+def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int,
+                   ew_dtype="bfloat16"):
     a_n = agents_per_env
     assert ROW_TILE % a_n == 0
 
@@ -363,7 +372,7 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
         out, hit = pl.pallas_call(
             functools.partial(_edge_ttc_kernel, max_range=max_range,
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
-                              n_beams=b_n),
+                              n_beams=b_n, ew_dtype=ew_dtype),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
                        jax.ShapeDtypeStruct((jn, k_n), dtype)),
             grid=grid,
@@ -534,7 +543,8 @@ def theta_spectral_ttc(spec_r, wsum, vel, smat, noise, cosines, side_dist,
 def theta_shuffle_blend_edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel,
                                  gmat, c_frac, noise, cosines, side_dist,
                                  max_range: float, ttc_thresh: float,
-                                 agents_per_env: int):
+                                 agents_per_env: int,
+                                 ew_dtype=jnp.bfloat16):
     """Fused edge render + noise add + iTTC wall check (see module comment).
 
     ``noise`` carries one row per env ((E, B); rows are (env, agent)-
@@ -543,6 +553,6 @@ def theta_shuffle_blend_edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel,
     ``vel != 0`` mask (reference laser_models.py:188-217 semantics via
     ops/agent_scan.py::check_ttc)."""
     return _make_edge_ttc(float(max_range), float(ttc_thresh),
-                          int(agents_per_env))(
+                          int(agents_per_env), jnp.dtype(ew_dtype).name)(
         spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac, noise,
         cosines, side_dist)

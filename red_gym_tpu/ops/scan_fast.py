@@ -385,6 +385,20 @@ def _use_pallas(cfg: SimConfig) -> bool:
     return cfg.scan_backend == "pallas"
 
 
+def _resolve_ew_dtype(cfg: SimConfig, dtype):
+    """Resolve cfg.rt_ew_dtype (the edge e/w channel-tap matmul dtype) for
+    the CURRENT backend, one rule for both epilogues: explicit values win;
+    "auto" is bfloat16 when tracing for TPU (full MXU rate, ~2^-8 relative
+    error on a [0, 1] channel — far below the 2^-6-bin build precision)
+    and the scan dtype elsewhere (CPU matmuls have no fast bf16 path)."""
+    if cfg.rt_ew_dtype == "bfloat16":
+        return jnp.bfloat16
+    if cfg.rt_ew_dtype == "float32":
+        # "no bf16": keep the scan dtype (f64 scans keep f64 taps)
+        return dtype
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else dtype
+
+
 def _compute_dtype(rtex: RangeTexture):
     """Interpolation compute dtype: the full-precision build dtype (fmat's),
     independent of the possibly-bfloat16 rt STORAGE dtype."""
@@ -705,7 +719,8 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                 f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
                 vel.reshape((-1,)), rtex.gmat, c_frac,
                 noise.reshape((1, -1)), tables.beam_cosines,
-                tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n)
+                tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n,
+                ew_dtype=_resolve_ew_dtype(cfg, dtype))
             return out.reshape(batch + (b_n,)), hit.reshape(batch)
         if e_b is not None:
             # edge mode: shuffle matmuls + parallax-ramp render fused in
@@ -716,7 +731,8 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                 spec_r[..., 1, :].reshape((-1, t_bins)),
                 spec_r[..., 2, :].reshape((-1, t_bins)),
                 f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
-                rtex.gmat, c_frac, cfg.max_range)
+                rtex.gmat, c_frac, cfg.max_range,
+                ew_dtype=_resolve_ew_dtype(cfg, dtype))
             return out.reshape(batch + (b_n,))
         # plain 3-tap blend: the (..., 3B) intermediate never touches HBM
         batch = spec_r.shape[:-1]
@@ -733,11 +749,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         # cuts the post-shuffle tap intermediate from 9B f32 columns to
         # 3B f32 + 4B bf16, the dominant HBM cost of the XLA edge path
         # (~1.3 GB/step at 16k 2-agent envs measured all-f32/3x3B).
-        ew_dtype = dtype
-        if cfg.rt_ew_dtype == "bfloat16":
-            ew_dtype = jnp.bfloat16
-        elif cfg.rt_ew_dtype == "auto" and jax.default_backend() == "tpu":
-            ew_dtype = jnp.bfloat16
+        ew_dtype = _resolve_ew_dtype(cfg, dtype)
         g = jnp.matmul(spec_r[..., 0, :], rtex.gmat,
                        preferred_element_type=dtype)            # (..., 3B)
         g_ew = jnp.matmul(spec_r[..., 1:, :].astype(ew_dtype),

@@ -134,9 +134,11 @@ def main():
            "process_index": jax.process_index(),
            "start_step": start_step,
            "losses": losses, "rewards": rewards, "checksums": checksums,
-           # single-step back-compat fields
-           "loss": losses[-1], "reward_mean": rewards[-1],
-           "param_checksum": checksums[-1],
+           # single-step back-compat fields (None when a resume restores at
+           # start_step == --steps and the loop body never runs)
+           "loss": losses[-1] if losses else None,
+           "reward_mean": rewards[-1] if rewards else None,
+           "param_checksum": checksums[-1] if checksums else None,
            "param_checksum_before": checksum0}
     with open(args.out, "w") as f:
         json.dump(out, f)
