@@ -28,6 +28,26 @@ def test_registration():
     assert "f110-v0" in gymnasium.registry
 
 
+def test_registration_is_import_light():
+    """``import red_gym_tpu`` must register f110-v0 WITHOUT loading the
+    adapter (and with it the env/scan stack): entry points are strings,
+    resolved by gymnasium at make() time.  A fresh interpreter keeps this
+    honest — this process already imported everything."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, red_gym_tpu\n"
+        "assert 'red_gym_tpu.gym_adapter' not in sys.modules\n"
+        "assert 'red_gym_tpu.env' not in sys.modules\n"
+        "import gymnasium\n"
+        "assert 'f110-v0' in gymnasium.registry\n"
+        "print('LAZY_OK')\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0 and "LAZY_OK" in r.stdout, r.stderr[-2000:]
+
+
 def test_register_falls_back_without_vector_entry_point(monkeypatch):
     """gymnasium < 1.0 has no vector_entry_point kwarg; register() must
     still register the single-env id instead of crashing the import."""

@@ -490,12 +490,14 @@ def test_edge_mode_variants_agree(setup_edge, spatial):
 
 def test_pallas_edge_epilogue_matches_xla(setup_edge):
     """The fused edge kernel (interpret mode off TPU) matches the XLA edge
-    path, including under vmap.  The kernel's e/w channel matmuls run in
-    bfloat16 (2^-8 relative on ~[0,1] channels, below the 2^-6-bin build
-    precision of the e channel), so a beam whose frac falls inside the
-    bf16-shifted ramp window can legitimately land on the other side of a
-    hard visibility edge: the bulk is gated tightly and the flipped
-    fraction separately."""
+    path, including under vmap.  Both epilogues resolve cfg.rt_ew_dtype by
+    the same rule (scan_fast._resolve_ew_dtype), so at the off-TPU "auto"
+    default the channel-tap matmuls run at the scan dtype on BOTH backends
+    and the scans agree to fp tolerance.  With an explicit
+    rt_ew_dtype="bfloat16" a beam whose frac falls inside the bf16-shifted
+    (2^-8 relative) ramp window can legitimately land on the other side of
+    a hard visibility edge, so that case gates the bulk tightly and the
+    flipped fraction separately."""
     import dataclasses
 
     tmap, tables, rtex = setup_edge
@@ -504,7 +506,15 @@ def test_pallas_edge_epilogue_matches_xla(setup_edge):
     poses = _free_poses(tmap, 10, seed=29)
     a = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_x))
     b = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex, cfg_p))
-    err = np.abs(a - b)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    # explicit bf16 channel taps: bounded edge-flip budget vs the f64 XLA
+    # render (the on-TPU "auto" error class)
+    cfg_b = dataclasses.replace(CFG_EDGE, scan_backend="pallas",
+                                rt_ew_dtype="bfloat16")
+    bb = np.asarray(scan_fast.trace_fast_mxu(poses, tables, tmap, rtex,
+                                             cfg_b))
+    err = np.abs(a - bb)
     cell = float(rtex.cell)
     assert np.quantile(err, 0.99) < 0.5 * cell, f"p99 {np.quantile(err, 0.99)}"
     assert np.mean(err > 4 * cell) < 2e-3, f"flips {np.mean(err > 4 * cell)}"
