@@ -111,8 +111,10 @@ print("PALLAS_OK", float(jnp.sum(out) + jnp.sum(out2) + jnp.sum(hit)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     try:
-        r = subprocess.run([sys.executable, "-c", code], env=env,
-                           timeout=600, capture_output=True, text=True)
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 600)))
         return r.returncode == 0 and "PALLAS_OK" in r.stdout
     except subprocess.TimeoutExpired:
         return False
@@ -132,8 +134,10 @@ def _device_preflight() -> bool:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     try:
-        r = subprocess.run([sys.executable, "-c", code], env=env,
-                           timeout=600, capture_output=True, text=True)
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 600)))
         return r.returncode == 0 and "DEV_OK" in r.stdout
     except subprocess.TimeoutExpired:
         return False
@@ -209,10 +213,40 @@ def measure(cfg: SimConfig) -> float:
     return rate
 
 
+def _cpu_fallback() -> bool:
+    """Re-exec the bench on the CPU backend when the TPU relay is dead.
+
+    A labeled CPU measurement is more informative than a 0.0 line — the
+    reference's own "30x realtime" claim is a CPU number, so vs_baseline
+    stays a fair ratio.  Returns True iff the child produced output."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(RGT_PLATFORM="cpu", BENCH_CPU_FALLBACK="1",
+               BENCH_MODES="default",
+               # one shared CPU core: shrink the batch so the run finishes
+               BENCH_ENVS=os.environ.get("BENCH_ENVS_CPU", "4096"),
+               BENCH_STEPS="60")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=3600, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    sys.stderr.write(r.stderr)
+    out = r.stdout.strip()
+    if r.returncode == 0 and out:
+        print(out, flush=True)
+        return True
+    return False
+
+
 def main():
     if not _device_preflight():
-        # the backend cannot run even a tiny op (dead relay): report
-        # honestly instead of hanging the driver
+        # the backend cannot run even a tiny op (dead relay): measure on
+        # CPU with an honest label, or report UNMEASURED — never hang
+        if os.environ.get("BENCH_CPU_FALLBACK") != "1" and _cpu_fallback():
+            return
         print(json.dumps({
             "metric": "env-steps/s aggregate (UNMEASURED: device backend "
                       "unreachable — tiny-op preflight hung/failed; see "
@@ -243,9 +277,13 @@ def main():
                                       fuse_scan_ttc="off")
             label += " [UNFUSED xla fallback: pallas unavailable]"
         rate = measure(cfg)
+        where = "1 chip"
+        if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+            where = ("CPU FALLBACK — TPU relay unreachable; last hardware "
+                     "number in BENCH_r02.json")
         print(json.dumps({
             "metric": f"env-steps/s aggregate ({N_AGENTS}-agent, 1080-beam "
-                      f"lidar, {N_ENVS} envs, {label}, 1 chip)",
+                      f"lidar, {N_ENVS} envs, {label}, {where})",
             "value": round(rate, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(rate / 3000.0, 2),
