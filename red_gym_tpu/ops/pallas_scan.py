@@ -200,16 +200,18 @@ def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
     hit = jnp.where(pv > 0.0,
                     (num >= 0.0) & (num < ttc_thresh * pv),
                     (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
-    # per-beam-tile partial reduce; the (jn, K) output gives every grid
+    # per-beam-tile partial reduce; the (8*jn, K) output gives every grid
     # step its own block (an output block revisited at non-consecutive
     # grid steps is undefined on TPU — the beam axis is the OUTER grid
     # dim here, so accumulating in-place across j would be one), and the
-    # tiny final max over jn partials runs in XLA.  (1, RT) output block:
-    # row-tile lanes (multiple of 128) rather than a single-lane (RT, 1)
-    # column — the Mosaic-friendly layout.
+    # tiny final max over the partial rows runs in XLA.  The partial is
+    # broadcast to an (8, RT) block: Mosaic requires the sublane dim of an
+    # output block to be 8-divisible (a (1, RT) block fails to lower on
+    # real TPU — caught live in round 4), and row-tile lanes (multiple of
+    # 128) beat a single-lane (RT, 1) column layout.
     one = jnp.ones((), out.dtype)
     partial = jnp.max(jnp.where(hit & beam_ok, one, 0.0 * one), axis=1)
-    return out, partial[None, :]
+    return out, jnp.broadcast_to(partial[None, :], (8, partial.shape[0]))
 
 
 def _edge_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
@@ -374,7 +376,7 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int,
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
                               n_beams=b_n, ew_dtype=ew_dtype),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
-                       jax.ShapeDtypeStruct((jn, k_n), dtype)),
+                       jax.ShapeDtypeStruct((8 * jn, k_n), dtype)),
             grid=grid,
             in_specs=[row_spec, row_spec, row_spec, scal_spec, scal_spec,
                       scal_spec, col_spec, col_spec, col_spec, beam_spec,
@@ -385,7 +387,7 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int,
             out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
                                     lambda j, i: (i, j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, ROW_TILE), lambda j, i: (j, i),
+                       pl.BlockSpec((8, ROW_TILE), lambda j, i: (j, i),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
         )(spec_r, spec_e, spec_w, fs2, ws2, vel2, g0m, g1m, g2m, cf2,
@@ -486,7 +488,7 @@ def _make_spec_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
                               n_beams=b_n),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
-                       jax.ShapeDtypeStruct((jn, k_n), dtype)),
+                       jax.ShapeDtypeStruct((8 * jn, k_n), dtype)),
             grid=grid,
             in_specs=[row_spec, scal_spec, scal_spec, col_spec,
                       pl.BlockSpec((ROW_TILE // a_n, BEAM_TILE),
@@ -496,7 +498,7 @@ def _make_spec_ttc(max_range: float, ttc_thresh: float, agents_per_env: int):
             out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
                                     lambda j, i: (i, j),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, ROW_TILE), lambda j, i: (j, i),
+                       pl.BlockSpec((8, ROW_TILE), lambda j, i: (j, i),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
         )(spec_r, ws2, vel2, smat, noise, cos2, side2)

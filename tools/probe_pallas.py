@@ -121,9 +121,14 @@ print("PASS env-step-default", float(jnp.sum(obs.scans)), flush=True)
 
 def main():
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))
-    timeouts = {"xla": 120, "pallas-tiny": 300, "pallas-edge": 420,
+    # PREPEND: the TPU plugin may live in a site dir already on PYTHONPATH
+    # (axon relay); overwriting would break backend init in the child.
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep
+        + env.get("PYTHONPATH", ""))
+    # generous floors: the box can be 1 shared core, where interpreter
+    # startup + jax import alone can eat minutes under load
+    timeouts = {"xla": 300, "pallas-tiny": 300, "pallas-edge": 420,
                 "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
                 "env-step-default": 600}
     for name, code in STAGES.items():
