@@ -203,22 +203,28 @@ def _device_preflight(timeout: float):
     return None
 
 
-def _pallas_preflight(timeout: float) -> bool:
-    """True iff EVERY Mosaic kernel the bench may dispatch (edge epilogue,
-    edge+iTTC, spectral+iTTC) executes on this backend.  A relay/toolchain
-    that cannot run Mosaic would HANG the bench, so probe all of them once
-    in a killable subprocess and fall back to the plain-XLA epilogue
-    (slower, honestly labeled) if any fails."""
-    code = """
+_PROBE_HEADER = """
 from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np, jax, jax.numpy as jnp
 from red_gym_tpu.ops import pallas_scan
 r = np.random.default_rng(0); K, T, B = 256, 128, 1080
+"""
+
+# One probe per Mosaic kernel, dispatched ONLY for the bench modes that
+# need it (the old all-in-one probe dispatched theta_spectral_ttc on every
+# TPU bench run — the one kernel that has actually WEDGED the relay
+# (round 4, 2026-08-19), which would have taken the chip down before the
+# modes that matter were measured).
+_PROBES = {
+    "edge": """
 out = pallas_scan.theta_shuffle_blend_edge(
     *(jnp.asarray(r.normal(size=(K, T)), jnp.float32) for _ in range(3)),
     jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
     jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
     jnp.asarray(r.uniform(size=(B,)), jnp.float32), 30.0)
+print("PALLAS_OK", float(jnp.sum(out)), flush=True)
+""",
+    "edge_ttc": """
 out2, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
     *(jnp.asarray(r.normal(size=(K, T)), jnp.float32) for _ in range(3)),
     jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
@@ -229,6 +235,9 @@ out2, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
     jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
     jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
     30.0, 0.005, 2)
+print("PALLAS_OK", float(jnp.sum(out2) + jnp.sum(hit)), flush=True)
+""",
+    "spec_ttc": """
 out3, hit3 = pallas_scan.theta_spectral_ttc(
     jnp.asarray(r.normal(size=(K, T)), jnp.float32),
     jnp.asarray(r.uniform(size=(K,)), jnp.float32),
@@ -238,11 +247,15 @@ out3, hit3 = pallas_scan.theta_spectral_ttc(
     jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
     jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
     30.0, 0.005, 2)
-print("PALLAS_OK", float(jnp.sum(out) + jnp.sum(out2) + jnp.sum(hit)
-                         + jnp.sum(out3) + jnp.sum(hit3)),
-      flush=True)
-"""
-    r = _run_child(code, timeout)
+print("PALLAS_OK", float(jnp.sum(out3) + jnp.sum(hit3)), flush=True)
+""",
+}
+
+
+def _pallas_preflight(kernel: str, timeout: float) -> bool:
+    """True iff the named Mosaic kernel executes on this backend, probed in
+    a killable subprocess so a hang can never take the bench down with it."""
+    r = _run_child(_PROBE_HEADER + _PROBES[kernel], timeout)
     return r is not None and r.returncode == 0 and "PALLAS_OK" in r.stdout
 
 
@@ -306,24 +319,32 @@ def main():
 
     where = "1 chip" if backend == "tpu" else f"1 {backend} host"
     edge_modes = {"default", "t256", "bilinear", "pool"}
-    fused_modes = {"fused", "fusedpool", "ultrafused"}
+    fused_modes = {"fused", "fusedpool"}
     # scan_backend="auto" resolves from the cached on-chip capability probe
     # (config.py); the bench additionally re-probes here in a killable
     # subprocess so a regressed Mosaic toolchain can never hang the bench —
-    # edge modes get the Pallas epilogue iff the probe passes, measuring
-    # the best configuration that provably runs.
-    need_probe = (backend == "tpu"
-                  and any(m in edge_modes | fused_modes for m in MODES))
-    pallas_ok = (_pallas_preflight(min(preflight_t * 2, _remaining()))
-                 if need_probe else False)
+    # each mode gets the Pallas path iff ITS kernel's probe passes,
+    # measuring the best configuration that provably runs.
+    on_tpu = backend == "tpu"
+    edge_ok = (on_tpu and any(m in edge_modes for m in MODES)
+               and _pallas_preflight("edge", min(preflight_t * 2,
+                                                 _remaining())))
+    fused_ok = (on_tpu and any(m in fused_modes for m in MODES)
+                and _pallas_preflight("edge_ttc", min(preflight_t * 2,
+                                                      _remaining())))
 
     # Measure the default mode FIRST (the number the round owes), emit it,
     # then the other modes, then re-emit the default line LAST so it is the
-    # recorded one.
+    # recorded one.  "ultrafused" runs at the very END: its spectral+iTTC
+    # kernel is the one dispatch that has wedged the relay, so every other
+    # number must already be on stdout before we probe or measure it.
     modes = list(dict.fromkeys(MODES))
     if "default" in modes:
         modes.remove("default")
         modes.insert(0, "default")
+    if "ultrafused" in modes:
+        modes.remove("ultrafused")
+        modes.append("ultrafused")
     default_line = None
     for mode in modes:
         if _remaining() < 30:
@@ -332,12 +353,19 @@ def main():
             continue
         label = _MODE_LABELS[mode]
         extra = {}
-        if mode in edge_modes and need_probe and pallas_ok:
+        if mode in edge_modes and edge_ok:
             extra["BENCH_FORCE_BACKEND"] = "pallas"
             label += " [pallas epilogue]"
-        elif mode in fused_modes and need_probe and not pallas_ok:
+        elif mode in fused_modes and on_tpu and not fused_ok:
             extra["BENCH_FORCE_BACKEND"] = "xla"
             label += " [UNFUSED xla fallback: pallas unavailable]"
+        elif mode == "ultrafused" and on_tpu:
+            if default_line is not None and len(modes) > 1:
+                print(json.dumps(default_line), flush=True)  # bank it first
+            if not _pallas_preflight("spec_ttc",
+                                     min(preflight_t * 2, _remaining())):
+                extra["BENCH_FORCE_BACKEND"] = "xla"
+                label += " [UNFUSED xla fallback: spec_ttc probe failed]"
         r = _run_child([os.path.abspath(__file__), "--measure", mode],
                        _remaining(), extra_env=extra)
         if r is not None:

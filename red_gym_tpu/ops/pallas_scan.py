@@ -197,9 +197,14 @@ def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
                ) < n_beams
     pv = vel * cos                                           # (RT,1)*(1,BT)
     num = out - side
-    hit = jnp.where(pv > 0.0,
-                    (num >= 0.0) & (num < ttc_thresh * pv),
-                    (pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv))
+    # NB: all-logical form, not jnp.where(pv > 0, <bool>, <bool>) — a select
+    # whose BRANCHES are boolean vectors lowers through an i8 promotion and
+    # an i8->i1 arith.trunci that Mosaic rejects on real TPU ("Unsupported
+    # target bitwidth for truncation", caught live in round 4).  The two
+    # arms are mutually exclusive on the sign of pv, so or-ing them is
+    # bit-identical to the select (pv == 0 yields False either way).
+    hit = (((pv > 0.0) & (num >= 0.0) & (num < ttc_thresh * pv))
+           | ((pv < 0.0) & (num <= 0.0) & (num > ttc_thresh * pv)))
     # per-beam-tile partial reduce; the (8*jn, K) output gives every grid
     # step its own block (an output block revisited at non-consecutive
     # grid steps is undefined on TPU — the beam axis is the OUTER grid

@@ -8,9 +8,12 @@
 #   stage 1  tiny-matmul liveness check
 #   stage 2  XLA-only ablation variants (ultra / edge default / no-noise /
 #            noise-pool at the fast baseline)
-#   stage 3  staged Mosaic probe (tools/probe_pallas.py, stops at first fail)
-#   stage 4  (only if stage 3 fully passes) Pallas + fused-kernel variants
+#   stage 3  staged Mosaic probe, EDGE kernels only (tools/probe_pallas.py,
+#            stops at first fail)
+#   stage 4  (only if stage 3 passes) Pallas + fused EDGE variants
 #   stage 5  full bench.py (its own subprocess preflight re-checks Mosaic)
+#   stage 6  DEAD LAST, the known relay-wedger: spectral+iTTC probe, then
+#            the ultrafused variant only if it passes
 #
 # Every stage runs under timeout in its own process; output accumulates in
 # $OUT (default /tmp/onchip). Safe to re-run; later runs append.
@@ -31,23 +34,38 @@ timeout 3600 python tools/ablate_default.py \
   >>"$OUT/ablate_xla.log" 2>&1
 log "stage 2 done (rc=$?) -> $OUT/ablate_xla.log"
 
-log "stage 3: staged Mosaic probe"
-timeout 2400 python tools/probe_pallas.py >>"$OUT/probe.log" 2>&1
+log "stage 3: staged Mosaic probe (edge stages only; spec-ttc deferred to stage 6)"
+timeout 2400 python tools/probe_pallas.py \
+  xla pallas-tiny pallas-edge pallas-edge-ttc env-step-default \
+  >>"$OUT/probe.log" 2>&1
 rc=$?
 log "stage 3 rc=$rc -> $OUT/probe.log"
-if [ $rc -ne 0 ] || ! grep -q "ALL STAGES PASS" "$OUT/probe.log"; then
-  log "Mosaic probe failed — skipping Pallas stages; XLA numbers are in $OUT"
+if [ $rc -ne 0 ] || ! grep -q "EDGE STAGES PASS" "$OUT/probe.log"; then
+  log "Mosaic edge probe failed — skipping Pallas stages; XLA numbers are in $OUT"
   exit 0
 fi
 
-log "stage 4: Pallas / fused variants"
+log "stage 4: Pallas / fused EDGE variants"
 timeout 5400 python tools/ablate_default.py \
-  "edge/pallas" "edge/fused-ttc" "edge/fused-ttc+pool" "ultra/fused-ttc" \
+  "edge/pallas" "edge/fused-ttc" "edge/fused-ttc+pool" \
   >>"$OUT/ablate_pallas.log" 2>&1
 log "stage 4 done (rc=$?) -> $OUT/ablate_pallas.log"
 
-log "stage 5: full bench"
-BENCH_MODES=ultra,ultrafused,default timeout 5400 python bench.py \
+log "stage 5: full bench (no ultrafused: see stage 6)"
+BENCH_MODES=ultra,default,fused timeout 5400 python bench.py \
   >>"$OUT/bench.log" 2>&1
 log "stage 5 done (rc=$?) -> $OUT/bench.log"
+
+# The spectral+iTTC kernel is probed and measured DEAD LAST: its dispatch
+# is the one that has wedged the relay (round 4, 2026-08-19) — everything
+# above is already on disk if it takes the chip down.
+log "stage 6: spectral-fused probe + ultrafused (relay-wedging risk)"
+timeout 900 python tools/probe_pallas.py pallas-spec-ttc >>"$OUT/probe.log" 2>&1
+if grep -q "PASS pallas-spec-ttc" "$OUT/probe.log"; then
+  timeout 3600 python tools/ablate_default.py "ultra/fused-ttc" \
+    >>"$OUT/ablate_pallas.log" 2>&1
+  log "stage 6 done (rc=$?) -> $OUT/ablate_pallas.log"
+else
+  log "spec-ttc probe failed/hung — ultrafused left unmeasured"
+fi
 log "SUITE COMPLETE"

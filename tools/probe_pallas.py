@@ -7,10 +7,17 @@ ORDER (each stage in a fresh subprocess under its own timeout) that:
   1. a plain XLA op executes            (relay alive at all)
   2. a trivial Pallas kernel executes   (Mosaic compile+run through relay)
   3. the fused edge epilogue executes on a micro shape
-  4. one full default-mode env step executes at a small batch
+  4. the fused edge+iTTC epilogue executes
+  5. one full default-mode env step executes at a small batch
+     -> "EDGE STAGES PASS" (everything the default/fused modes dispatch)
+  6. LAST, because it is the one stage that has actually wedged the relay
+     (round 4, 2026-08-19: the spec-ttc dispatch hung the backend for
+     ~20 min while edge-ttc passed clean): the fused spectral+iTTC kernel
+     -> "ALL STAGES PASS"
 
-Usage: python tools/probe_pallas.py  — prints one PASS/FAIL line per stage
-and stops at the first failure (so a hang never cascades).
+Usage: python tools/probe_pallas.py [stage ...] — prints one PASS/FAIL
+line per stage and stops at the first failure (so a hang never cascades).
+Default runs every stage in the order above.
 """
 
 import os
@@ -77,25 +84,6 @@ out, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
 print("PASS pallas-edge-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
       flush=True)
 """,
-    "pallas-spec-ttc": """
-from red_gym_tpu.utils import platform as _p; _p.apply()
-import numpy as np
-import jax, jax.numpy as jnp
-from red_gym_tpu.ops import pallas_scan
-rng = np.random.default_rng(0)
-K, T, B, A = 512, 128, 1080, 2
-out, hit = pallas_scan.theta_spectral_ttc(
-    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
-    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
-    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
-    jnp.asarray(rng.normal(size=(T, B)), jnp.float32),
-    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
-    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
-    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
-    30.0, 0.005, A)
-print("PASS pallas-spec-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
-      flush=True)
-""",
     "env-step-default": """
 from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np
@@ -116,7 +104,34 @@ step = jax.jit(jax.vmap(lambda s, a: envlib.step(cfg, params, s, a)))
 s, obs, *_ = step(states, act)
 print("PASS env-step-default", float(jnp.sum(obs.scans)), flush=True)
 """,
+    # LAST on purpose: the one stage observed to WEDGE the relay (round 4);
+    # everything above must already be recorded before this dispatch.
+    "pallas-spec-ttc": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+out, hit = pallas_scan.theta_spectral_ttc(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, B)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, A)
+print("PASS pallas-spec-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
 }
+
+# the stages the library-default and edge-fused modes dispatch; a run that
+# clears these earns "EDGE STAGES PASS" even if the spectral-fused stage
+# later fails/hangs
+EDGE_STAGES = ("xla", "pallas-tiny", "pallas-edge", "pallas-edge-ttc",
+               "env-step-default")
 
 
 def main():
@@ -131,9 +146,16 @@ def main():
     timeouts = {"xla": 300, "pallas-tiny": 300, "pallas-edge": 420,
                 "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
                 "env-step-default": 600}
-    for name, code in STAGES.items():
+    names = sys.argv[1:] or list(STAGES)
+    unknown = [n for n in names if n not in STAGES]
+    if unknown:
+        print(f"unknown stages {unknown}; choose from {list(STAGES)}",
+              file=sys.stderr)
+        return 2
+    passed, edge_announced = [], False
+    for name in names:
         try:
-            r = subprocess.run([sys.executable, "-c", code], env=env,
+            r = subprocess.run([sys.executable, "-c", STAGES[name]], env=env,
                                timeout=timeouts[name],
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
@@ -144,7 +166,14 @@ def main():
                   flush=True)
             return 1
         print(r.stdout.strip().splitlines()[-1], flush=True)
-    print("ALL STAGES PASS", flush=True)
+        passed.append(name)
+        if not edge_announced and set(EDGE_STAGES) <= set(passed):
+            # printed BEFORE the spectral stage so a wedge there cannot
+            # erase the edge-path verdict
+            print("EDGE STAGES PASS", flush=True)
+            edge_announced = True
+    if set(names) <= set(passed):
+        print("ALL STAGES PASS", flush=True)
     return 0
 
 
