@@ -326,7 +326,8 @@ def main():
     # each mode gets the Pallas path iff ITS kernel's probe passes,
     # measuring the best configuration that provably runs.
     on_tpu = backend == "tpu"
-    edge_ok = (on_tpu and any(m in edge_modes for m in MODES)
+    edge_probed = on_tpu and any(m in edge_modes for m in MODES)
+    edge_ok = (edge_probed
                and _pallas_preflight("edge", min(preflight_t * 2,
                                                  _remaining())))
     fused_ok = (on_tpu and any(m in fused_modes for m in MODES)
@@ -356,6 +357,10 @@ def main():
         if mode in edge_modes and edge_ok:
             extra["BENCH_FORCE_BACKEND"] = "pallas"
             label += " [pallas epilogue]"
+        elif mode in edge_modes and edge_probed:
+            # probe failed: pin XLA so a stale capability record can't
+            # steer "auto" into the very dispatch the probe just rejected
+            extra["BENCH_FORCE_BACKEND"] = "xla"
         elif mode in fused_modes and on_tpu and not fused_ok:
             extra["BENCH_FORCE_BACKEND"] = "xla"
             label += " [UNFUSED xla fallback: pallas unavailable]"

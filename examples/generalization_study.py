@@ -107,6 +107,9 @@ def main():
     ap.add_argument("--eval-steps", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-csv", type=str, default=None)
+    ap.add_argument("--rt-stride", type=int, default=2,
+                    help="range-texture pose stride (texture cell = stride "
+                         "* map resolution); raise for cheap CPU smokes")
     args = ap.parse_args()
 
     yamls = track_yamls()
@@ -118,7 +121,7 @@ def main():
 
     cfg = SimConfig(num_agents=args.agents, num_beams=1080, timestep=0.01,
                     integrator=Integrator.RK4, dtype="float32",
-                    scan_mode="fast")
+                    scan_mode="fast", rt_pose_stride=args.rt_stride)
 
     # ---- train on the train split ----
     params_tr = envlib.make_multimap_params(cfg, train_yamls)

@@ -149,20 +149,23 @@ class SimConfig:
     scan_mode: str = "exact"
     rt_theta_bins: int = 128      # angular bins of the range texture
     rt_pose_stride: int = 2       # texture cell = stride * map resolution
-    # fast-scan epilogue backend.  "auto" (default) currently resolves to
-    # "xla" everywhere: the fused Pallas edge epilogue (ops/pallas_scan.py)
-    # avoids the edge pipeline's (rows, 3, 3B) tap intermediate (~1.3
-    # GB/step of HBM traffic at 16k 2-agent envs in plain XLA) by keeping
-    # the taps in VMEM, but its first live dispatch through this
-    # environment's relayed TPU hung the backend, and it has not yet been
-    # verified on real hardware — so "auto" stays on the (2-tap, optionally
-    # bfloat16, see rt_ew_dtype) XLA fallback until a killable probe proves
-    # the Mosaic path (bench.py preflights exactly that and opts in).
-    # Where eff_occlusion is "off" the XLA tail is cheap regardless and
-    # fuses into the scan's consumers (noise/iTTC/policy); the Pallas call
-    # was measured ~8% slower there as a fusion barrier.  Explicit
-    # "xla"/"pallas" override ("pallas" supports eff_occlusion "off" and
-    # "edge", not "snap").
+    # fast-scan epilogue backend.  "auto" (default) resolves per MACHINE
+    # from the cached capability record (utils/capability.py): Pallas for
+    # the edge pipeline iff tools/probe_pallas.py has proven the Mosaic
+    # edge kernels execute on this backend AND the end-to-end A/B measured
+    # them faster (tools/ablate_default.py --record); "xla" otherwise.
+    # The fused Pallas edge epilogue (ops/pallas_scan.py) avoids the edge
+    # pipeline's (rows, 3, 3B) tap intermediate (~1.3 GB/step of HBM
+    # traffic at 16k 2-agent envs in plain XLA) by keeping the taps in
+    # VMEM — but Mosaic dispatch through a relayed TPU has twice wedged
+    # the backend (round 3: the then-buggy edge kernel; round 4: the
+    # spectral+iTTC kernel), so auto never dispatches Mosaic without this
+    # machine's probe record.  Where eff_occlusion is "off" the XLA tail
+    # is cheap regardless and fuses into the scan's consumers
+    # (noise/iTTC/policy); the Pallas call was measured ~8% slower there
+    # as a fusion barrier.  Explicit "xla"/"pallas" override ("pallas"
+    # supports eff_occlusion "off" and "edge", not "snap");
+    # RGT_PALLAS=on|off overrides the cache for one-off runs.
     scan_backend: str = "auto"
     # fast-scan theta interpolation.  "linear" (default): exact linear lerp
     # between theta bins (matches trace_fast).  "spectral": the full real-
@@ -238,7 +241,11 @@ class SimConfig:
     # of XLA writing the noisy (E, A, B) scan and re-reading it for iTTC
     # (~2 extra full passes of a ~135 MB tensor at 16k 2-agent envs).
     # "on" requires the Pallas edge path (see ops/scan_fast.use_fused_ttc);
-    # "auto" currently resolves to off pending on-chip A/B measurement.
+    # "auto" resolves from the same cached capability record as
+    # scan_backend: on iff the fused edge+iTTC kernel is probe-verified
+    # AND A/B-measured faster on this machine (RGT_FUSE_TTC=on|off
+    # overrides).  The spectral-fused kernel is never auto-selected — its
+    # dispatch wedged the relayed TPU (round 4) and stays explicit-only.
     fuse_scan_ttc: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,

@@ -371,17 +371,25 @@ def batch_axes(axis: int = 0) -> "RangeTexture":
 
 
 def _use_pallas(cfg: SimConfig) -> bool:
-    # "auto" resolves to XLA for now.  The fused Pallas edge epilogue
-    # exists to kill the edge pipeline's (rows, 3, 3B) XLA tap
-    # intermediate (~1.3 GB/step of HBM traffic at 16k 2-agent envs), but
-    # its first live dispatch through this environment's relayed TPU hung
-    # the backend and it is still unverified on real hardware — defaulting
-    # into it would risk hanging any caller that jits the default config
-    # on TPU.  Callers that can afford a killable probe (bench.py) opt in
-    # with scan_backend="pallas" after the probe passes.  For
-    # eff_occ="off" the XLA tail is cheap anyway and fuses into the scan's
-    # consumers, where the Pallas call was measured ~8% slower as a fusion
-    # barrier (docs/performance.md).
+    # "auto" resolves from the CACHED on-chip capability record
+    # (utils/capability.py): Pallas for the edge pipeline iff a killable
+    # probe has proven the Mosaic edge kernels execute on this backend
+    # (tools/probe_pallas.py writes the record) AND the end-to-end A/B
+    # measured them faster (tools/ablate_default.py --record).  Without a
+    # record, auto stays on the (2-tap, optionally bfloat16, see
+    # rt_ew_dtype) XLA fallback: Mosaic dispatch through this
+    # environment's relayed TPU has twice been observed to wedge the
+    # backend (round 3: first edge dispatch, fixed since; round 4: the
+    # spectral+iTTC kernel), and a default that can hang any jit of the
+    # default config is worse than a slower one.  The Pallas epilogue only
+    # covers the edge pipeline — for eff_occlusion "off"/spectral the XLA
+    # tail is cheap and fuses into the scan's consumers, where the Pallas
+    # call was measured ~8% slower as a fusion barrier
+    # (docs/performance.md).
+    if cfg.scan_backend == "auto" and cfg.rt_eff_occlusion == "edge":
+        from red_gym_tpu.utils import capability
+
+        return capability.edge_pallas_enabled()
     return cfg.scan_backend == "pallas"
 
 
@@ -496,7 +504,15 @@ def use_fused_ttc(cfg: SimConfig) -> bool:
                 "scan_backend='pallas', rt_occlusion='edge' OR scan_interp="
                 f"'spectral', and num_agents dividing {_ps.ROW_TILE}")
         return True
-    return False      # "auto": off pending on-chip A/B measurement
+    # "auto": on iff this machine's capability record says the fused
+    # edge+iTTC kernel is probe-verified AND A/B-measured faster (see
+    # utils/capability.py; only the edge pipeline qualifies — the
+    # spectral fused kernel has wedged the relay and stays explicit-only)
+    if ok and cfg.rt_eff_occlusion == "edge":
+        from red_gym_tpu.utils import capability
+
+        return capability.fused_ttc_enabled()
+    return False
 
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,

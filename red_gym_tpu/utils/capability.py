@@ -1,0 +1,95 @@
+"""Cached on-chip capability record for the Mosaic (Pallas) scan epilogues.
+
+``scan_backend="auto"`` must never hang a user's first jit: the fused edge
+epilogue is the measured-best backend for the default scan mode on TPU, but
+Mosaic dispatch through a relayed chip has twice been observed to wedge the
+backend (round 3: first edge dispatch; round 4: the spectral+iTTC kernel).
+So "auto" only resolves to Pallas when a KILLABLE probe has already proven
+the edge kernels execute — and measured them faster — on this machine's
+backend, and recorded that verdict here.
+
+The record is a tiny JSON file under the texture-cache directory, keyed by
+backend + jax version (a toolchain upgrade invalidates it).  It is written
+by tools/probe_pallas.py (executes every edge-path kernel in subprocesses)
+and tools/ablate_default.py --record (the end-to-end speed A/B); the
+library only ever READS it.  ``RGT_PALLAS=on|off`` overrides everything
+(e.g. for single-run experiments without touching the cache).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("RED_GYM_TPU_TEXTURE_CACHE")
+    if d and d.lower() in ("0", "off", "none", ""):
+        d = None
+    return d or os.path.join(os.path.expanduser("~"), ".cache",
+                             "red_gym_tpu")
+
+
+def record_path(backend: str | None = None) -> str:
+    import jax
+
+    backend = backend or jax.default_backend()
+    return os.path.join(_cache_dir(),
+                        f"mosaic_capability_{backend}_jax{jax.__version__}.json")
+
+
+def read_record(backend: str | None = None) -> dict:
+    try:
+        with open(record_path(backend)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def write_record(updates: dict, backend: str | None = None) -> str:
+    """Merge ``updates`` into the capability record (tool-side only)."""
+    path = record_path(backend)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rec = read_record(backend)
+    rec.update(updates)
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    return path
+
+
+@functools.lru_cache(maxsize=None)
+def _edge_pallas_cached(backend: str) -> bool:
+    rec = read_record(backend)
+    return bool(rec.get("edge_ok")) and bool(rec.get("edge_faster"))
+
+
+def edge_pallas_enabled() -> bool:
+    """Resolution of scan_backend="auto" for the edge modes: True iff the
+    edge kernels are probe-verified AND A/B-measured faster on this
+    backend (or RGT_PALLAS=on forces it)."""
+    ov = os.environ.get("RGT_PALLAS", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    import jax
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return False          # interpret-mode Pallas is strictly slower
+    return _edge_pallas_cached(backend)
+
+
+def fused_ttc_enabled() -> bool:
+    """Resolution of fuse_scan_ttc="auto": additionally requires the fused
+    edge+iTTC kernel to be probe-verified and A/B-measured faster."""
+    ov = os.environ.get("RGT_FUSE_TTC", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    if not edge_pallas_enabled():
+        return False
+    rec = read_record()
+    return bool(rec.get("edge_ttc_ok")) and bool(rec.get("fused_faster"))

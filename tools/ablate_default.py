@@ -39,12 +39,37 @@ VARIANTS = {
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    args = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    names = args or list(VARIANTS)
+    rates = {}
     for name in names:
         cfg = dataclasses.replace(bench.make_cfg("default"), **VARIANTS[name])
-        rate = bench.measure(cfg)
+        rates[name] = rate = bench.measure(cfg)
         print(json.dumps({"variant": name, "env_steps_s": round(rate, 1)}),
               flush=True)
+
+    if record:
+        # Persist the end-to-end A/B verdicts that scan_backend="auto" /
+        # fuse_scan_ttc="auto" resolve from (utils/capability.py).  Needs
+        # the explicit backend variants so the comparison is not polluted
+        # by a pre-existing record steering "auto".
+        from red_gym_tpu.utils import capability
+
+        upd = {}
+        if "edge/pallas" in rates and "edge/xla-fallback" in rates:
+            upd["edge_faster"] = rates["edge/pallas"] > rates["edge/xla-fallback"]
+            upd["rate_edge_pallas"] = round(rates["edge/pallas"], 1)
+            upd["rate_edge_xla"] = round(rates["edge/xla-fallback"], 1)
+        if "edge/fused-ttc" in rates and "edge/pallas" in rates:
+            upd["fused_faster"] = rates["edge/fused-ttc"] > rates["edge/pallas"]
+            upd["rate_edge_fused"] = round(rates["edge/fused-ttc"], 1)
+        if upd:
+            path = capability.write_record(upd)
+            print(json.dumps({"recorded": upd, "path": path}), flush=True)
+        else:
+            print("--record: need edge/xla-fallback + edge/pallas "
+                  "(+ edge/fused-ttc) among the variants", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -45,9 +45,9 @@ if [ $rc -ne 0 ] || ! grep -q "EDGE STAGES PASS" "$OUT/probe.log"; then
   exit 0
 fi
 
-log "stage 4: Pallas / fused EDGE variants"
-timeout 5400 python tools/ablate_default.py \
-  "edge/pallas" "edge/fused-ttc" "edge/fused-ttc+pool" \
+log "stage 4: Pallas / fused EDGE variants (+ capability record)"
+timeout 5400 python tools/ablate_default.py --record \
+  "edge/xla-fallback" "edge/pallas" "edge/fused-ttc" "edge/fused-ttc+pool" \
   >>"$OUT/ablate_pallas.log" 2>&1
 log "stage 4 done (rc=$?) -> $OUT/ablate_pallas.log"
 
@@ -60,7 +60,7 @@ log "stage 5 done (rc=$?) -> $OUT/bench.log"
 # is the one that has wedged the relay (round 4, 2026-08-19) — everything
 # above is already on disk if it takes the chip down.
 log "stage 6: spectral-fused probe + ultrafused (relay-wedging risk)"
-timeout 900 python tools/probe_pallas.py pallas-spec-ttc >>"$OUT/probe.log" 2>&1
+timeout 900 python tools/probe_pallas.py xla pallas-spec-ttc >>"$OUT/probe.log" 2>&1
 if grep -q "PASS pallas-spec-ttc" "$OUT/probe.log"; then
   timeout 3600 python tools/ablate_default.py "ultra/fused-ttc" \
     >>"$OUT/ablate_pallas.log" 2>&1

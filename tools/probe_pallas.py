@@ -28,7 +28,8 @@ STAGES = {
     "xla": """
 from red_gym_tpu.utils import platform as _p; _p.apply()
 import jax, jax.numpy as jnp
-print("PASS xla", float(jnp.sum(jnp.ones((8, 8)))), flush=True)
+print("PASS xla", jax.default_backend(),
+      float(jnp.sum(jnp.ones((8, 8)))), flush=True)
 """,
     "pallas-tiny": """
 from red_gym_tpu.utils import platform as _p; _p.apply()
@@ -152,6 +153,20 @@ def main():
         print(f"unknown stages {unknown}; choose from {list(STAGES)}",
               file=sys.stderr)
         return 2
+    # which capability-record key each stage's verdict feeds
+    # (utils/capability.py; backend parsed from the xla stage's output so
+    # the parent never touches the possibly-wedged device itself)
+    record_keys = {"pallas-edge": "edge_ok", "pallas-edge-ttc": "edge_ttc_ok",
+                   "pallas-spec-ttc": "spec_ttc_ok"}
+    backend = None
+
+    def record(key, ok):
+        if backend is None or key is None:
+            return
+        from red_gym_tpu.utils import capability
+
+        capability.write_record({key: ok}, backend=backend)
+
     passed, edge_announced = [], False
     for name in names:
         try:
@@ -160,13 +175,18 @@ def main():
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
             print(f"FAIL {name}: TIMEOUT after {timeouts[name]}s", flush=True)
+            record(record_keys.get(name), False)
             return 1
         if r.returncode != 0 or "PASS" not in r.stdout:
             print(f"FAIL {name}: rc={r.returncode}\n{r.stderr[-800:]}",
                   flush=True)
+            record(record_keys.get(name), False)
             return 1
+        if name == "xla":
+            backend = r.stdout.split()[2]
         print(r.stdout.strip().splitlines()[-1], flush=True)
         passed.append(name)
+        record(record_keys.get(name), True)
         if not edge_announced and set(EDGE_STAGES) <= set(passed):
             # printed BEFORE the spectral stage so a wedge there cannot
             # erase the edge-path verdict
