@@ -103,6 +103,8 @@ def test_collision_rate():
     _gate(_rate(f, poses, units=4096), 1e5)
 
 
+@pytest.mark.slow  # ~100s: texture build + 20-step-scan compile dominate;
+# the fast lane keeps the reference's three kernel gates above
 def test_full_step_rate():
     """Full 2-agent env step, 256 envs, fast scan in the LIBRARY DEFAULT
     mode (r3: nearest1/linear + edge/grad channels): >6k env-steps/s on

@@ -488,6 +488,8 @@ def test_edge_mode_variants_agree(setup_edge, spatial):
     np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-7)
 
 
+@pytest.mark.slow  # ~45s interpret-mode kernel; the fast lane keeps the
+# STEP-level fused parity (test_fused_ttc_env_step_matches_unfused)
 def test_pallas_edge_epilogue_matches_xla(setup_edge):
     """The fused edge kernel (interpret mode off TPU) matches the XLA edge
     path, including under vmap.  Both epilogues resolve cfg.rt_ew_dtype by
@@ -527,6 +529,7 @@ def test_pallas_edge_epilogue_matches_xla(setup_edge):
     np.testing.assert_allclose(bv, b, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~33s interpret-mode kernel; step-level parity stays fast
 def test_fused_ttc_epilogue_matches_unfused(setup_edge):
     """The fused noise+iTTC edge kernel (fuse_scan_ttc) returns the same
     noisy scan and hit flags as pallas-edge + XLA noise add + check_ttc —
