@@ -138,8 +138,15 @@ def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
         dtype=cfg.jdtype)
     rtex = None
     if cfg.scan_mode == "fast":
+        # build each texture on the RAW map (content-hash cache key stays
+        # stable across stack compositions — building on the padded maps
+        # re-marched every texture whenever the stack's max dims changed),
+        # then pad the finished textures to the common grid
+        s = cfg.rt_pose_stride
+        hc_pad, wc_pad = (pad[0] + s - 1) // s, (pad[1] + s - 1) // s
         rtex = scan_fast.stack_textures(
-            [scan_fast.build_range_texture(m, cfg) for m in maps])
+            [scan_fast.pad_texture(scan_fast.build_range_texture(m, cfg),
+                                   hc_pad, wc_pad) for m in raw])
     return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
                      noise_pool=_make_noise_pool(cfg))
 

@@ -348,6 +348,36 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
                         smat=jnp.asarray(smat, dtype))
 
 
+def pad_texture(rtex: RangeTexture, hc_new: int, wc_new: int) -> RangeTexture:
+    """Grow a texture's cell grid to (hc_new, wc_new) with invalid rows.
+
+    Padded cells get all-zero rows and valid=False — exactly what
+    build_range_texture produces for occupied/out-of-map cells — so padding
+    AFTER the build equals building on a zero-padded map for any map whose
+    border is occupied (every packaged track; rays terminate at real walls
+    before the boundary).  This is what makes multi-map stacking reuse the
+    per-map texture cache: the build runs on the RAW map (content-hash
+    stable across stack compositions) and only this cheap reshape depends
+    on the stack's common padded shape.  It also makes a map's scans
+    identical whether it runs standalone or stacked."""
+    hc, wc = int(rtex.hc), int(rtex.wc)
+    if (hc_new, wc_new) == (hc, wc):
+        return rtex
+    if hc_new < hc or wc_new < wc:
+        raise ValueError(f"pad target {(hc_new, wc_new)} smaller than "
+                         f"texture grid {(hc, wc)}")
+    ct = rtex.rt.shape[-1]
+    rt = jnp.pad(rtex.rt.reshape(hc, wc, ct),
+                 ((0, hc_new - hc), (0, wc_new - wc), (0, 0))
+                 ).reshape(hc_new * wc_new, ct)
+    valid = jnp.pad(rtex.valid.reshape(hc, wc),
+                    ((0, hc_new - hc), (0, wc_new - wc))
+                    ).reshape(hc_new * wc_new)
+    return rtex._replace(rt=rt, valid=valid,
+                         hc=jnp.asarray(hc_new, jnp.int32),
+                         wc=jnp.asarray(wc_new, jnp.int32))
+
+
 def stack_textures(rtexs):
     """Stack equal-shaped RangeTextures along a leading (per-env map) axis.
 

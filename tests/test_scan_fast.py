@@ -731,3 +731,34 @@ def test_edge_channels_with_stacked_maps():
                 p, tables, stacked_map, stacked_rt, cfg,
                 midx=jnp.asarray(i, jnp.int32)))(poses))
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_pad_texture_equals_padded_map_build():
+    """pad_texture(build(raw)) is BIT-EQUAL to build(zero-padded map) for
+    wall-bounded maps: padded cells are occupied, so their rows are zero
+    with valid=False either way, and in-bounds marches terminate at real
+    walls before the boundary.  This equivalence is what lets
+    make_multimap_params build textures on the RAW maps (stable disk-cache
+    key) and pad afterwards — before, any change to a stack's max
+    dimensions re-marched every member map."""
+    m_raw = _tiny_tmap(seed=7, n=40)
+    ph, pw = 56, 64
+    m_pad = m_raw._replace(
+        dt=jnp.pad(m_raw.dt, ((0, ph - 40), (0, pw - 40))),
+        occupancy=jnp.pad(m_raw.occupancy, ((0, ph - 40), (0, pw - 40))))
+
+    cfg = SimConfig(num_agents=1, num_beams=90, dtype="float64",
+                    scan_mode="fast", rt_theta_bins=16, rt_pose_stride=4,
+                    rt_occlusion="edge", rt_grad=True, rt_edge_iters=3)
+    s = cfg.rt_pose_stride
+    a = scan_fast.pad_texture(scan_fast.build_range_texture(m_raw, cfg),
+                              (ph + s - 1) // s, (pw + s - 1) // s)
+    b = scan_fast.build_range_texture(m_pad, cfg)
+    assert (int(a.hc), int(a.wc)) == (int(b.hc), int(b.wc))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.rt), np.asarray(b.rt))
+    # no-op and shrink guards
+    t = scan_fast.build_range_texture(m_raw, cfg)
+    assert scan_fast.pad_texture(t, int(t.hc), int(t.wc)) is t
+    with pytest.raises(ValueError):
+        scan_fast.pad_texture(t, int(t.hc) - 1, int(t.wc))

@@ -24,6 +24,10 @@ import os
 import subprocess
 import sys
 
+# the parent needs the repo importable too (for the capability record
+# writes); children get it via the PYTHONPATH prepend in main()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 STAGES = {
     "xla": """
 from red_gym_tpu.utils import platform as _p; _p.apply()
