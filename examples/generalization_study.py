@@ -70,26 +70,32 @@ def batched_reset(cfg, params, poses, keys, map_idx):
 
 def evaluate(cfg, ppo, pparams, params, poses, map_idx, keys, steps):
     """Roll the deterministic mean policy; returns per-env (speed sum,
-    crashed flag, final laps)."""
+    crashed flag, final laps).
+
+    ``params`` is a jit ARGUMENT, not a closure: closing over the 7-track
+    stacked textures embeds them as HLO constants and blows the
+    remote-compile request limit (HTTP 413 — hit live in round 4; same
+    lesson as examples/train_ppo.py)."""
     states, obs, *_ = batched_reset(cfg, params, poses, keys, map_idx)
 
-    def body(carry, _):
+    def body(params, pp_, carry, _):
         states, obs = carry
-        mean, _, _ = ppo.policy.apply(pparams, obs.scans[:, 0],
+        mean, _, _ = ppo.policy.apply(pp_, obs.scans[:, 0],
                                       obs.linear_vels_x[:, 0])
-        act = ppo._env_actions(mean, obs, pparams)
+        act = ppo._env_actions(mean, obs, pp_)
         states, obs, _, done, _ = jax.vmap(
             lambda p_, s, a: envlib.step(cfg, p_, s, a),
             in_axes=(None, 0, 0))(params, states, act)
         return (states, obs), (obs.linear_vels_x[:, 0], obs.collisions[:, 0])
 
     @jax.jit
-    def roll(pp_, states, obs):
+    def roll(params, pp_, states, obs):
         (states, _), (vels, colls) = jax.lax.scan(
-            lambda c, x: body(c, x), (states, obs), None, length=steps)
+            lambda c, x: body(params, pp_, c, x), (states, obs), None,
+            length=steps)
         return states, vels, colls
 
-    states, vels, colls = roll(pparams, states, obs)
+    states, vels, colls = roll(params, pparams, states, obs)
     return (np.asarray(vels), np.asarray(colls),
             np.asarray(states.lap_counts[:, 0]))
 
