@@ -114,3 +114,31 @@ def test_bitmap_sac_curve_rises():
     tail = r[-max(3, n // 10):].mean()
     assert tail > head + 0.1, \
         f"bitmap SAC: reward {head:.3f} -> {tail:.3f}, no clear learning"
+
+
+def test_generalization_study_artifact():
+    """Committed held-out-track study (VERDICT r3 item 7): PPO trained on 5
+    packaged tracks, evaluated per-track on the 5 train tracks plus 2 tracks
+    never seen in training (examples/generalization_study.py, run on TPU,
+    4096 eval envs/track).  Gates pin the headline README claim: every train
+    track is raced crash-free at racing speed, and the policy transfers to
+    the unseen track_wide at full speed with zero crashes.  track_narrow
+    (much tighter than anything in the train set) is the recorded failure
+    mode — gated only as present, not as succeeding."""
+    import pytest
+    path = os.path.join(MEDIA, "generalization.csv")
+    if not os.path.isfile(path):
+        pytest.skip("generalization.csv not committed on this checkout")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    by_split = {"train": [], "holdout": []}
+    for r in rows:
+        by_split[r["split"]].append(r)
+    assert len(by_split["train"]) == 5 and len(by_split["holdout"]) == 2
+    for r in by_split["train"]:
+        assert float(r["crash_rate"]) < 0.01, (r["track"], r["crash_rate"])
+        assert float(r["speed_mean"]) > 6.0, (r["track"], r["speed_mean"])
+    wide = next(r for r in by_split["holdout"] if "wide" in r["track"])
+    assert float(wide["crash_rate"]) < 0.01, wide
+    assert float(wide["speed_mean"]) > 6.0, wide
+    assert any("narrow" in r["track"] for r in by_split["holdout"])
