@@ -186,6 +186,51 @@ def _run_child(code_or_args, timeout: float, extra_env=None):
         return None
 
 
+def _warm_textures(modes, timeout: float):
+    """Build any missing range textures for `modes` in a CPU child.
+
+    A cold build marches the whole map (~13 min for the 1600^2 example map
+    on one core) — far beyond any measurement timeout, so an unwarmed cache
+    turns every mode into a timeout; worse, killing a TPU client mid-build
+    has been observed to wedge the axon relay (round 4).  The texture cache
+    is content-addressed and backend-agnostic, so a CPU build (safe to
+    kill) serves the TPU measurement children.  Fast path: if every key is
+    already cached the child exits in seconds."""
+    code = (
+        "import os; os.environ['RGT_PLATFORM'] = 'cpu'\n"
+        "from red_gym_tpu.utils import platform as p; p.apply()\n"
+        "import bench, jax.numpy as jnp\n"
+        "from red_gym_tpu.maps.loader import load_map\n"
+        "from red_gym_tpu.ops import scan_fast\n"
+        "from red_gym_tpu.assets import example_map_yaml\n"
+        f"modes = {modes!r}\n"
+        "y = os.environ.get('BENCH_MAP') or example_map_yaml()\n"
+        "tmap = load_map(y, '.png', dtype=jnp.float32)\n"
+        "seen = set()\n"
+        "for m in modes:\n"
+        "    cfg = bench.make_cfg(m)\n"
+        "    if cfg.scan_mode != 'fast': continue\n"
+        "    k = scan_fast._texture_cache_path(tmap, cfg)\n"
+        "    if k in seen or (k and os.path.exists(k)): continue\n"
+        "    seen.add(k)\n"
+        "    print('WARM building', m, flush=True)\n"
+        "    scan_fast.build_range_texture(tmap, cfg)\n"
+        "print('WARM_DONE', flush=True)\n")
+    t0 = time.time()
+    r = _run_child(code, timeout, extra_env={"RGT_PLATFORM": "cpu"})
+    ok = r is not None and r.returncode == 0 and "WARM_DONE" in r.stdout
+    if not ok:
+        print(f"WARNING: texture warm-up did not finish in {timeout:.0f}s "
+              f"(cold cache?) — measurement children may time out building "
+              f"textures; raise BENCH_WARM_BUDGET or run "
+              f"tools/prebuild_textures.py once",
+              file=sys.stderr, flush=True)
+    elif time.time() - t0 > 5:
+        print(f"texture cache warmed in {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+    return ok
+
+
 def _device_preflight(timeout: float):
     """Returns backend name ('tpu'/'cpu'/...) iff a tiny op executes, else
     None.  The axon TPU relay has been observed to die hard (backend init
@@ -277,7 +322,6 @@ def _emit(label: str, value: float, where: str, envs: int = None,
 def main():
     global _DEADLINE
     budget = float(os.environ.get("BENCH_BUDGET", 480))
-    _DEADLINE = time.time() + budget
     preflight_t = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", 60))
 
     # Provisional line FIRST: if the relay wedges a child past every timeout
@@ -285,8 +329,17 @@ def main():
     # rather than nothing (BENCH_r03 was rc=124 with empty output).
     _emit("PROVISIONAL — bench started, no measurement completed yet; "
           "if this is the recorded line the process was killed before any "
-          "mode finished (last full hardware number: BENCH_r02.json 5.52M)",
+          "mode finished (last hardware numbers, 2026-08-19: default 3.80M,"
+          " ultra+pool 6.07M — docs/performance.md round-4 table)",
           0.0, "n/a")
+
+    # Warm the texture cache BEFORE starting the measurement clock: a cold
+    # cache otherwise times out every mode (and killing a TPU child
+    # mid-build can wedge the relay).  One-time per machine; instant when
+    # already cached.
+    _warm_textures(list(dict.fromkeys(MODES)),
+                   float(os.environ.get("BENCH_WARM_BUDGET", 1200)))
+    _DEADLINE = time.time() + budget
 
     backend = _device_preflight(min(preflight_t, _remaining()))
     if backend is None and os.environ.get("RGT_PLATFORM") == "cpu":
@@ -308,12 +361,14 @@ def main():
         rate = _parse_rate(r)
         if rate is not None:
             _emit(_MODE_LABELS["default"] + " — CPU FALLBACK, TPU relay "
-                  "unreachable; last hardware number in BENCH_r02.json",
-                  rate, "1 CPU host", envs=cpu_envs)
+                  "unreachable; last hardware numbers (2026-08-19): default "
+                  "3.80M, ultra+pool 6.07M (docs/performance.md round-4 "
+                  "table)", rate, "1 CPU host", envs=cpu_envs)
             return
         _emit("UNMEASURED: device backend unreachable — tiny-op preflight "
               "hung/failed and the CPU fallback did not finish in budget; "
-              "see BENCH_r02.json for the last hardware measurement",
+              "last hardware numbers (2026-08-19): default 3.80M, ultra+pool "
+              "6.07M (docs/performance.md round-4 table)",
               0.0, "n/a")
         return
 

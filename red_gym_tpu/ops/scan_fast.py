@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 import os
+import sys
+import time
 from typing import NamedTuple
 
 import numpy as np
@@ -285,10 +287,20 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     else:
         rt_rows = []
         valid_rows = []
-        for r0 in range(0, hc, batch_rows):
+        n_batches = (hc + batch_rows - 1) // batch_rows
+        t_build = time.time()
+        for i, r0 in enumerate(range(0, hc, batch_rows)):
             rng, fr = do_rows(jnp.int32(r0))
+            # sync per batch: keeps the dispatch queue shallow on relayed
+            # backends (an unbounded async enqueue has been observed to
+            # starve a shared relay) and makes the progress line truthful
+            jax.block_until_ready(fr)
             rt_rows.append(rng)
             valid_rows.append(fr)
+            if i % 32 == 31 or i == n_batches - 1:
+                print(f"[range-texture] {i + 1}/{n_batches} row batches "
+                      f"({time.time() - t_build:.0f}s, cold build — cached "
+                      f"to disk when done)", file=sys.stderr, flush=True)
         rt = jnp.concatenate(rt_rows, axis=0)[:hc] \
                 .reshape(hc * wc, n_chan * t_bins)
         valid = jnp.concatenate(valid_rows, axis=0)[:hc].reshape(hc * wc)

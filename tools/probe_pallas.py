@@ -93,12 +93,25 @@ print("PASS pallas-edge-ttc", float(jnp.sum(out)), float(jnp.sum(hit)),
 from red_gym_tpu.utils import platform as _p; _p.apply()
 import numpy as np
 import jax, jax.numpy as jnp
+from scipy.ndimage import distance_transform_edt
 from red_gym_tpu.config import Integrator, SimConfig
 from red_gym_tpu import env as envlib
-from red_gym_tpu.assets import example_map_yaml
+from red_gym_tpu.maps.loader import TrackMap
 cfg = SimConfig(num_agents=2, num_beams=1080, timestep=0.01,
                 integrator=Integrator.RK4, dtype="float32", scan_mode="fast")
-params = envlib.make_params(cfg, example_map_yaml(), ".png")
+# tiny synthetic map: this stage proves the full default-mode step EXECUTES
+# on chip; a cold example-map texture build is ~13 min of device marching,
+# which read as a relay hang here (round 4) and whose timeout-kill can
+# wedge the relay itself.  Map size is irrelevant to what is being probed.
+n = 64; occ = np.full((n, n), 255.0)
+occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 0.0
+res = 0.25
+z = lambda v: jnp.asarray(v, jnp.float32)
+tmap = TrackMap(dt=z(distance_transform_edt(occ) * res), occupancy=z(occ),
+                orig_x=z(-8.0), orig_y=z(-8.0), orig_c=z(1.0), orig_s=z(0.0),
+                resolution=z(res), height=jnp.asarray(n, jnp.int32),
+                width=jnp.asarray(n, jnp.int32))
+params = envlib.make_params(cfg, None, tmap=tmap)
 poses = jnp.tile(jnp.asarray([[0.7, 0.0, 1.37], [0.7, -1.0, 1.37]],
                              jnp.float32), (256, 1, 1))
 states = jax.jit(jax.vmap(lambda p, k: envlib.init_state(cfg, p, k)))(
