@@ -146,9 +146,10 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     two_pi = 2.0 * math.pi
     dth = two_pi / t_bins
     thr = cfg.rt_occlusion_cells * cell
+    n_grid = 8
 
     @jax.jit
-    def do_rows(r0):
+    def _dense_rows(r0):
         r_idx = r0 + jnp.arange(batch_rows)[:, None]            # (B, Wc)
         c_idx = jnp.broadcast_to(jnp.arange(wc)[None, :], (batch_rows, wc))
         x, y = rows_to_world(r_idx, c_idx)
@@ -185,7 +186,6 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
             # interval, then bisection refines WITHIN it with a local
             # bracket.
             is_edge = jump > thr
-            n_grid = 8
             samples = [ranges]
             for j in range(1, n_grid):
                 ang = angles[None, None, :] + (j / n_grid) * dth
@@ -279,6 +279,160 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         out = jnp.concatenate(chans, axis=-1)                   # (B, Wc, C*T)
         return out * free[..., None].astype(dtype), free
 
+    # ------------------------------------------------------------------
+    # Compact build (default): the dense path above marches the 8-point
+    # fine grid + rt_edge_iters bisection + 2 width probes (15 extra full
+    # marches at the defaults) over EVERY theta-bin pair, but only the
+    # bins with jump > thr keep the result (the is_edge select) and only
+    # free in-map cells survive the final validity mask — typically a few
+    # percent of the texture.  Gathering exactly those bins and running
+    # the same elementwise math on the compacted vector is bit-identical
+    # (no reductions cross bins) and turns the ~13-minute cold build of
+    # the 1600^2 example map into ~3 min on one CPU core (43 -> 14.5 min
+    # through the TPU relay, where round trips cap the win).  Dense stays
+    # reachable via RGT_TEXTURE_BUILD=dense and an equality test pins
+    # compact == dense (tests/test_scan_fast.py).
+    # ------------------------------------------------------------------
+
+    @jax.jit
+    def _base_rows(r0):
+        r_idx = r0 + jnp.arange(batch_rows)[:, None]            # (B, Wc)
+        c_idx = jnp.broadcast_to(jnp.arange(wc)[None, :], (batch_rows, wc))
+        x, y = rows_to_world(r_idx, c_idx)
+        origins = jnp.stack([x, y], axis=-1)                    # (B, Wc, 2)
+        ranges = scan_ops.trace_angles(origins, angles, tmap, cfg_march)
+        ranges = jnp.maximum(ranges, 1e-3)      # column-0 validity floor
+        free = scan_ops.dt_lookup(x, y, tmap) > 0.0
+        cy = (r_idx.astype(dtype) + 0.5) * stride
+        cx = (c_idx.astype(dtype) + 0.5) * stride
+        free = free & (cy < tmap.height.astype(dtype)) \
+                    & (cx < tmap.width.astype(dtype))
+        return ranges, free, x, y
+
+    @jax.jit
+    def _edge_bins(xk, yk, ang0, rl, rr, jk):
+        """Edge localization on a compacted (K,) vector of edge bins only —
+        the same fine-grid + bisection + width-probe math as _dense_rows,
+        elementwise, so the results are bit-identical per bin."""
+        samples = [rl]
+        for j in range(1, n_grid):
+            ang = ang0 + (j / n_grid) * dth
+            samples.append(scan_ops.march(xk, yk, jnp.cos(ang), jnp.sin(ang),
+                                          tmap, cfg_march))
+        samples.append(rr)
+        m = jnp.stack(samples, axis=0)                  # (n_grid+1, K)
+        d = jnp.abs(m[1:] - m[:-1])
+        jidx = jnp.argmax(d, axis=0)
+        lo = jidx.astype(dtype) / n_grid
+        hi = (jidx.astype(dtype) + 1.0) / n_grid
+        mlo = jnp.take_along_axis(m, jidx[None], axis=0)[0]
+        mhi = jnp.take_along_axis(m, jidx[None] + 1, axis=0)[0]
+        for _ in range(cfg.rt_edge_iters):
+            mid = 0.5 * (lo + hi)
+            ang = ang0 + mid * dth
+            rm = scan_ops.march(xk, yk, jnp.cos(ang), jnp.sin(ang),
+                                tmap, cfg_march)
+            left = jnp.abs(rm - mlo) < jnp.abs(rm - mhi)
+            lo = jnp.where(left, mid, lo)
+            hi = jnp.where(left, hi, mid)
+            mlo = jnp.where(left, rm, mlo)
+            mhi = jnp.where(left, mhi, rm)
+        e = 0.5 * (lo + hi)
+        hh = 1.0 / (n_grid * 2 ** cfg.rt_edge_iters)
+        ang_m = ang0 + jnp.clip(e - hh, 0.0, 1.0) * dth
+        ang_p = ang0 + jnp.clip(e + hh, 0.0, 1.0) * dth
+        r_m = scan_ops.march(xk, yk, jnp.cos(ang_m), jnp.sin(ang_m),
+                             tmap, cfg_march)
+        r_p = scan_ops.march(xk, yk, jnp.cos(ang_p), jnp.sin(ang_p),
+                             tmap, cfg_march)
+        frac_disc = jnp.abs(r_p - r_m) / jnp.maximum(jk, 1e-6)
+        w = jnp.clip(1.0 - frac_disc, 0.0, 1.0)
+        e = 0.5 * w + e * (1.0 - w)
+        return e, w
+
+    @jax.jit
+    def _finish_rows(ranges, free, x, y, ew):
+        """Channel assembly for one row batch: (e, w) arrive pre-scattered
+        (host side) with the non-edge defaults (0.5, 1.0) — exactly what
+        the dense path's is_edge select produces."""
+        chans = [ranges]
+        shape3 = ranges.shape
+        x3 = jnp.broadcast_to(x[..., None], shape3)
+        y3 = jnp.broadcast_to(y[..., None], shape3)
+        nxt = jnp.roll(ranges, -1, axis=-1)
+        jump = jnp.abs(nxt - ranges)
+        if need_edge:
+            chans.extend(ew)
+        if need_grad:
+            cos_t = jnp.cos(angles)[None, None, :]
+            sin_t = jnp.sin(angles)[None, None, :]
+            hx = x3 + ranges * cos_t
+            hy = y3 + ranges * sin_t
+            jl = jnp.roll(jump, 1, axis=-1) > thr
+            jr = jump > thr
+            txr = jnp.roll(hx, -1, axis=-1) - hx
+            tyr = jnp.roll(hy, -1, axis=-1) - hy
+            txl = hx - jnp.roll(hx, 1, axis=-1)
+            tyl = hy - jnp.roll(hy, 1, axis=-1)
+            tx = jnp.where(jl, txr, jnp.where(jr, txl, txr + txl))
+            ty = jnp.where(jl, tyr, jnp.where(jr, tyl, tyr + tyl))
+            nx, ny = -ty, tx
+            nd = nx * cos_t + ny * sin_t
+            sgn = jnp.where(nd > 0, -1.0, 1.0)
+            nx, ny, nd = nx * sgn, ny * sgn, nd * sgn
+            nd = jnp.minimum(nd, -1e-9)
+            gx = -nx / nd
+            gy = -ny / nd
+            gn = jnp.sqrt(gx * gx + gy * gy)
+            sc = jnp.minimum(1.0, 8.0 / jnp.maximum(gn, 1e-9))
+            rmax = 0.999 * cfg.max_range
+            side_r = jnp.roll(ranges, -1, axis=-1) >= rmax
+            side_l = jnp.roll(ranges, 1, axis=-1) >= rmax
+            bad = (jl & jr) | (ranges >= rmax) \
+                | (jnp.where(jl, side_r, jnp.where(jr, side_l,
+                                                   side_r | side_l)))
+            sc = jnp.where(bad, 0.0, sc)
+            chans.append(gx * sc)
+            chans.append(gy * sc)
+        out = jnp.concatenate(chans, axis=-1)                   # (B, Wc, C*T)
+        return out * free[..., None].astype(dtype)
+
+    def _compact_rows(r0):
+        ranges, free, x, y = _base_rows(jnp.int32(r0))
+        ew = ()
+        n_edge = 0
+        if need_edge:
+            ranges_np = np.asarray(ranges)
+            npdt = ranges_np.dtype
+            nxt = np.roll(ranges_np, -1, axis=-1)
+            jump = np.abs(nxt - ranges_np)
+            # & free: bins in occupied/out-of-map cells are zeroed by the
+            # validity mask either way, so skipping their marches is exact
+            mask = (jump > thr) & np.asarray(free)[..., None]
+            idx = np.nonzero(mask.ravel())[0]
+            e_np = np.full(ranges_np.shape, 0.5, npdt)
+            w_np = np.ones(ranges_np.shape, npdt)
+            if idx.size:
+                n_edge = int(idx.size)
+                # pad to a power of two: bounds the jit specializations;
+                # np.resize repeats the index sequence, so rows [:n_edge]
+                # of the result are exactly the unique bins
+                K = max(256, 1 << (n_edge - 1).bit_length())
+                pad = np.resize(idx, K)
+                cell_i, t_i = pad // t_bins, pad % t_bins
+                e_k, w_k = _edge_bins(
+                    jnp.asarray(np.asarray(x).ravel()[cell_i]),
+                    jnp.asarray(np.asarray(y).ravel()[cell_i]),
+                    jnp.asarray(np.asarray(angles)[t_i]),
+                    jnp.asarray(ranges_np.ravel()[pad]),
+                    jnp.asarray(nxt.ravel()[pad]),
+                    jnp.asarray(jump.ravel()[pad]))
+                e_np.ravel()[idx] = np.asarray(e_k)[:n_edge]
+                w_np.ravel()[idx] = np.asarray(w_k)[:n_edge]
+            ew = (jnp.asarray(e_np), jnp.asarray(w_np))
+        out = _finish_rows(ranges, free, x, y, ew)
+        return out, free, n_edge
+
     cache = _texture_cache_path(tmap, cfg)
     if cache is not None and os.path.exists(cache):
         with np.load(cache) as z:
@@ -289,11 +443,18 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         valid_rows = []
         n_batches = (hc + batch_rows - 1) // batch_rows
         t_build = time.time()
+        dense = os.environ.get("RGT_TEXTURE_BUILD", "").lower() == "dense"
+        n_edge_total = 0
         for i, r0 in enumerate(range(0, hc, batch_rows)):
-            rng, fr = do_rows(jnp.int32(r0))
+            if dense:
+                rng, fr = _dense_rows(jnp.int32(r0))
+            else:
+                rng, fr, n_e = _compact_rows(r0)
+                n_edge_total += n_e
             # sync per batch: keeps the dispatch queue shallow on relayed
             # backends (an unbounded async enqueue has been observed to
             # starve a shared relay) and makes the progress line truthful
+            # (the compact path already synced via its host round trips)
             jax.block_until_ready(fr)
             rt_rows.append(rng)
             valid_rows.append(fr)

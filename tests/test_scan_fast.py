@@ -327,6 +327,27 @@ def _tiny_tmap(seed=0, n=48):
                     width=jnp.asarray(n, jnp.int32))
 
 
+def test_compact_build_matches_dense(monkeypatch):
+    """The default (compact) cold build gathers only the jump>thr bins of
+    free cells for edge localization; the dense path marches every bin and
+    selects.  Same elementwise math on the same bins => the texture must be
+    BIT-identical (this is what makes the ~10x cold-build speedup free)."""
+    import dataclasses
+
+    tmap = _tiny_tmap(seed=11, n=40)
+    cfg = dataclasses.replace(CFG, rt_occlusion="edge", rt_grad=True,
+                              rt_pose_stride=4)
+    monkeypatch.setenv("RED_GYM_TPU_TEXTURE_CACHE", "off")
+    monkeypatch.delenv("RGT_TEXTURE_BUILD", raising=False)
+    compact = scan_fast.build_range_texture(tmap, cfg)
+    monkeypatch.setenv("RGT_TEXTURE_BUILD", "dense")
+    dense = scan_fast.build_range_texture(tmap, cfg)
+    np.testing.assert_array_equal(np.asarray(compact.rt),
+                                  np.asarray(dense.rt))
+    np.testing.assert_array_equal(np.asarray(compact.valid),
+                                  np.asarray(dense.valid))
+
+
 def test_texture_disk_cache_roundtrip(tmp_path, monkeypatch):
     """The marched texture memoizes to disk by content hash: a rebuild with
     the same map+config loads bit-identical arrays; changing the config
