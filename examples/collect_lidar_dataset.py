@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", type=str, default="lidar_dataset.npz")
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--legacy-npz", type=str, default=None,
+                    help="also write an npz in the REFERENCE collector's "
+                         "schema: single key 'data', (N, 256, 256) uint8 "
+                         "occupancy tensors (f1tenth_gym/examples/"
+                         "lidar.py:214-257 semantics) — consumable by "
+                         "pipelines written against the reference's "
+                         "shipped datasets")
     args = ap.parse_args()
 
     cfg = SimConfig(num_agents=1, num_beams=1080, timestep=0.01, dtype="float32")
@@ -47,7 +54,11 @@ def main():
     spawns = []
     while len(spawns) < args.episodes:
         r, c = rng.integers(0, occ.shape[0]), rng.integers(0, occ.shape[1])
-        if dt_np[r, c] > 0.6:
+        # free (>0.6 m clearance) but WITH a wall inside 8 m: the example
+        # map's image is mostly empty space outside the track, where every
+        # beam exceeds the legacy tensors' 10 m box and the occupancy
+        # tensor comes out all-zero
+        if 0.6 < dt_np[r, c] < 8.0:
             spawns.append([c * res + float(params.tmap.orig_x),
                            r * res + float(params.tmap.orig_y),
                            rng.uniform(0, 2 * np.pi)])
@@ -86,6 +97,19 @@ def main():
         actions=np.asarray(actions, np.float32), # (T, E, 2)
         spawns=np.asarray(spawns, np.float32))
     print(f"wrote {args.out}: bitmaps {bitmaps.shape}, scans {scans.shape}")
+
+    if args.legacy_npz:
+        from red_gym_tpu.ops.rasterize import scans_to_legacy_tensors
+
+        # episode-major ordering like the reference (all steps of episode 0,
+        # then episode 1, ...); the reference also truncates episodes at
+        # done — here collisions freeze the car so late tensors repeat the
+        # terminal view, which downstream occupancy consumers tolerate
+        flat = np.asarray(scans).transpose(1, 0, 2).reshape(-1, scans.shape[-1])
+        data = scans_to_legacy_tensors(flat)
+        np.savez_compressed(args.legacy_npz, data=data)
+        print(f"wrote {args.legacy_npz}: data {data.shape} {data.dtype} "
+              f"(reference collector schema)")
 
 
 if __name__ == "__main__":

@@ -118,6 +118,15 @@ def classic_map_path(name: str) -> str:
     """
     if name not in CLASSIC_MAPS:
         raise KeyError(f"unknown classic map {name!r}; have {CLASSIC_MAPS}")
+    # the two parity-critical maps (the golden-scan gates' berlin/skirk,
+    # reference unittest/scan_sim.py:322-366) ship converted IN the package
+    # (tiny MIT-licensed upstream f1tenth_gym assets, see PROVENANCE.md
+    # there) so the parity suite is self-sufficient on a bare machine
+    packaged = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "data", "classic",
+        f"{name}.yaml")
+    if os.path.isfile(packaged):
+        return packaged
     dest = _default_dest()
     ready = os.path.join(dest, f"{name}.yaml")
     if os.path.isfile(ready):

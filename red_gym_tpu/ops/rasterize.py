@@ -153,3 +153,39 @@ def lidar_to_bitmap(scan, winding_dir: str = "CCW",
         return jnp.stack([img] * 3, axis=-1)
     alpha = jnp.full_like(img, 255)
     return jnp.stack([img, img, img, alpha], axis=-1)
+
+
+def scans_to_legacy_tensors(scans, max_range: float = 30.0,
+                            grid_size: int = 256,
+                            bound: float = 10.0) -> np.ndarray:
+    """Reference dataset-collector tensor layout, vectorized.
+
+    The reference collector scatters each beam's hit point into a
+    ``(grid_size, grid_size)`` uint8 occupancy tensor — beam angles fixed at
+    linspace(-135 deg, 135 deg) regardless of the env fov, x forward mapped
+    to ROWS, beams at/after ``max_range`` or outside the +-``bound`` m box
+    skipped, plain int() truncation of the pixel coordinate — and saves a
+    batch of them under the single npz key ``data`` (reference:
+    f1tenth_gym/examples/lidar.py:214-244, np.savez_compressed at 255-257).
+    This reproduces those semantics bit-for-bit for an (N, B) batch of
+    scans so offline pipelines written against the reference's 448 shipped
+    datasets consume our collector's output unchanged.
+    """
+    scans = np.asarray(scans, np.float64)
+    n, b = scans.shape
+    angles = np.linspace(-135.0, 135.0, b) * np.pi / 180.0
+    x = scans * np.cos(angles)
+    y = scans * np.sin(angles)
+    keep = ((scans < max_range)
+            & (x >= -bound) & (x <= bound) & (y >= -bound) & (y <= bound))
+    span = 2.0 * bound
+    # int() truncation (values are >= 0 here, so trunc == floor) then the
+    # reference's redundant clip
+    i_row = np.clip(((x + bound) / span * (grid_size - 1)).astype(np.int64),
+                    0, grid_size - 1)
+    i_col = np.clip(((y + bound) / span * (grid_size - 1)).astype(np.int64),
+                    0, grid_size - 1)
+    out = np.zeros((n, grid_size, grid_size), np.uint8)
+    n_idx = np.broadcast_to(np.arange(n)[:, None], (n, b))
+    out[n_idx[keep], i_row[keep], i_col[keep]] = 1
+    return out

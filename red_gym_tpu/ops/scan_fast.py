@@ -287,11 +287,18 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
     # free in-map cells survive the final validity mask — typically a few
     # percent of the texture.  Gathering exactly those bins and running
     # the same elementwise math on the compacted vector is bit-identical
-    # (no reductions cross bins) and turns the ~13-minute cold build of
-    # the 1600^2 example map into ~3 min on one CPU core (43 -> 14.5 min
-    # through the TPU relay, where round trips cap the win).  Dense stays
-    # reachable via RGT_TEXTURE_BUILD=dense and an equality test pins
-    # compact == dense (tests/test_scan_fast.py).
+    # (no reductions cross bins; verified on the CPU and TPU backends by
+    # tests/test_scan_fast.py::test_compact_build_matches_dense and the
+    # on-chip suite — other backends may re-associate fma contraction
+    # differently across the two compilation contexts) and turns the
+    # ~13-minute cold build of the 1600^2 example map into ~3 min on one
+    # CPU core (43 -> 14.5 min through the TPU relay, where round trips
+    # cap the win).  Dense stays reachable via RGT_TEXTURE_BUILD=dense.
+    #
+    # Edge bins are processed in fixed-size chunks of EDGE_CHUNK so
+    # _edge_bins compiles exactly ONCE per build regardless of map size
+    # (a per-batch power-of-two bucketing re-jitted up to ~8 times, which
+    # on a relayed TPU backend costs more than the marches it saved).
     # ------------------------------------------------------------------
 
     @jax.jit
@@ -397,6 +404,8 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
         out = jnp.concatenate(chans, axis=-1)                   # (B, Wc, C*T)
         return out * free[..., None].astype(dtype)
 
+    EDGE_CHUNK = 4096  # fixed _edge_bins shape: ONE compile per build
+
     def _compact_rows(r0):
         ranges, free, x, y = _base_rows(jnp.int32(r0))
         ew = ()
@@ -414,21 +423,30 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
             w_np = np.ones(ranges_np.shape, npdt)
             if idx.size:
                 n_edge = int(idx.size)
-                # pad to a power of two: bounds the jit specializations;
-                # np.resize repeats the index sequence, so rows [:n_edge]
-                # of the result are exactly the unique bins
-                K = max(256, 1 << (n_edge - 1).bit_length())
+                # pad to a multiple of the fixed chunk; np.resize repeats
+                # the index sequence, so rows [:n_edge] of the result are
+                # exactly the unique bins.  Every _edge_bins call has the
+                # same (EDGE_CHUNK,) shape -> exactly one jit build.
+                K = ((n_edge + EDGE_CHUNK - 1) // EDGE_CHUNK) * EDGE_CHUNK
                 pad = np.resize(idx, K)
                 cell_i, t_i = pad // t_bins, pad % t_bins
-                e_k, w_k = _edge_bins(
-                    jnp.asarray(np.asarray(x).ravel()[cell_i]),
-                    jnp.asarray(np.asarray(y).ravel()[cell_i]),
-                    jnp.asarray(np.asarray(angles)[t_i]),
-                    jnp.asarray(ranges_np.ravel()[pad]),
-                    jnp.asarray(nxt.ravel()[pad]),
-                    jnp.asarray(jump.ravel()[pad]))
-                e_np.ravel()[idx] = np.asarray(e_k)[:n_edge]
-                w_np.ravel()[idx] = np.asarray(w_k)[:n_edge]
+                xi = np.asarray(x).ravel()[cell_i]
+                yi = np.asarray(y).ravel()[cell_i]
+                ai = np.asarray(angles)[t_i]
+                rli = ranges_np.ravel()[pad]
+                rri = nxt.ravel()[pad]
+                jki = jump.ravel()[pad]
+                e_parts, w_parts = [], []
+                for c0 in range(0, K, EDGE_CHUNK):
+                    sl = slice(c0, c0 + EDGE_CHUNK)
+                    e_k, w_k = _edge_bins(
+                        jnp.asarray(xi[sl]), jnp.asarray(yi[sl]),
+                        jnp.asarray(ai[sl]), jnp.asarray(rli[sl]),
+                        jnp.asarray(rri[sl]), jnp.asarray(jki[sl]))
+                    e_parts.append(np.asarray(e_k))
+                    w_parts.append(np.asarray(w_k))
+                e_np.ravel()[idx] = np.concatenate(e_parts)[:n_edge]
+                w_np.ravel()[idx] = np.concatenate(w_parts)[:n_edge]
             ew = (jnp.asarray(e_np), jnp.asarray(w_np))
         out = _finish_rows(ranges, free, x, y, ew)
         return out, free, n_edge
@@ -459,9 +477,15 @@ def build_range_texture(tmap: TrackMap, cfg: SimConfig,
             rt_rows.append(rng)
             valid_rows.append(fr)
             if i % 32 == 31 or i == n_batches - 1:
+                edge_note = ""
+                if not dense and need_edge:
+                    n_bins = (i + 1) * batch_rows * wc * t_bins
+                    edge_note = (f", {n_edge_total} edge bins "
+                                 f"({100.0 * n_edge_total / n_bins:.1f}%)")
                 print(f"[range-texture] {i + 1}/{n_batches} row batches "
-                      f"({time.time() - t_build:.0f}s, cold build — cached "
-                      f"to disk when done)", file=sys.stderr, flush=True)
+                      f"({time.time() - t_build:.0f}s{edge_note}, cold build "
+                      f"— cached to disk when done)",
+                      file=sys.stderr, flush=True)
         rt = jnp.concatenate(rt_rows, axis=0)[:hc] \
                 .reshape(hc * wc, n_chan * t_bins)
         valid = jnp.concatenate(valid_rows, axis=0)[:hc].reshape(hc * wc)

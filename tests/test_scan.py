@@ -137,36 +137,3 @@ def test_padded_map_equals_unpadded(map_pair):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("map_name,gate", [("berlin", 2.0), ("skirk", 2.0),
-                                           ("vegas", 16.0)])
-def test_legacy_cpp_golden_scan(map_name, gate):
-    """Golden cross-implementation gate vs the RETIRED C++ backend: the
-    reference validates its scans against npz data generated by the original
-    C++ simulator (reference: gym/f110_gym/unittest/scan_sim.py:322-366,
-    fixture unittest/legacy_scan.npz, MSE < 2.0 on 10 poses x 1080 beams at
-    fov=4.7).  Same poses, same maps, same gate for the exact-mode march —
-    an oracle fully independent of the reference Python implementation.
-
-    Measured here: berlin 0.862, skirk 1.705 (both inside the reference's
-    2.0 gate).  The npz also carries vegas data the reference never gates —
-    for good reason: the reference's own Python simulator scores MSE 14.95
-    against it (verified this session with the no-op-njit reference import),
-    bit-matching our 14.95, i.e. the legacy vegas goldens predate a map
-    revision.  We pin it at 16.0 to detect regressions without pretending
-    the stale goldens are authoritative."""
-    npz = "/root/reference/gym/f110_gym/unittest/legacy_scan.npz"
-    golden = np.load(npz)[map_name]
-
-    cfg = SimConfig(num_agents=1, num_beams=1080, fov=4.7, dtype="float64")
-    tables = scan_ops.build_tables(cfg, 0.31, 0.58, dtype=jnp.float64)
-    tmap = load_map(f"/root/reference/gym/f110_gym/envs/maps/{map_name}.yaml", ".png",
-                    dtype=jnp.float64)
-
-    poses = np.zeros((10, 3))
-    poses[:, 2] = np.linspace(-1.0, 1.0, num=10)
-    ours = np.asarray(scan_ops.trace(jnp.asarray(poses), tables, tmap, cfg))
-
-    mse = float(np.mean((golden - ours) ** 2))
-    # report the achieved number, not just the gate (VERDICT r2 item 4)
-    print(f"legacy C++ golden scan [{map_name}]: mse={mse:.6f} (gate {gate})")
-    assert mse < gate, f"{map_name}: mse {mse} vs legacy C++ golden data"
