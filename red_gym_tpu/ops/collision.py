@@ -105,18 +105,39 @@ def pairwise_hits_from_poses(poses, length, width):
     a_n = poses.shape[0]
     hl = jnp.broadcast_to(length / 2.0, (a_n,))
     hw = jnp.broadcast_to(width / 2.0, (a_n,))
-    hits = jnp.zeros((a_n,), bool)
-    for k in range(1, a_n // 2 + 1):
-        other = jnp.roll(poses, -k, axis=0)
-        hl2 = jnp.roll(hl, -k)
-        hw2 = jnp.roll(hw, -k)
-        o = _obb_overlap(poses, other, hl, hw, hl2, hw2)
-        hits = hits | o
-        if not (a_n % 2 == 0 and k == a_n // 2):
-            # agent (i+k) collides with i too; the even-A middle pass
-            # already sees each pair from both sides
-            hits = hits | jnp.roll(o, k)
-    return hits
+    if a_n <= 4:
+        # rolled passes: fuses into the step's other (E, A) elementwise
+        # arithmetic at the common racing sizes
+        hits = jnp.zeros((a_n,), bool)
+        for k in range(1, a_n // 2 + 1):
+            other = jnp.roll(poses, -k, axis=0)
+            hl2 = jnp.roll(hl, -k)
+            hw2 = jnp.roll(hw, -k)
+            o = _obb_overlap(poses, other, hl, hw, hl2, hw2)
+            hits = hits | o
+            if not (a_n % 2 == 0 and k == a_n // 2):
+                # agent (i+k) collides with i too; the even-A middle pass
+                # already sees each pair from both sides
+                hits = hits | jnp.roll(o, k)
+        return hits
+    # batched (K, A) roll axis for larger fields: program size stays O(1)
+    # in A (the unrolled form traced ceil((A-1)/2) passes — compile time,
+    # not runtime, was the cost at A=8-16)
+    ks = jnp.arange(1, a_n // 2 + 1)                        # (K,)
+    idx = (jnp.arange(a_n)[None, :] + ks[:, None]) % a_n    # (K, A)
+    o = _obb_overlap(poses[None], poses[idx], hl[None], hw[None],
+                     hl[idx], hw[idx])                      # (K, A) bool
+    hits = jnp.any(o, axis=0)
+    # scatter each pass's hits back onto the partner (i+k); the even-A
+    # middle pass pairs i with i+A/2 symmetrically and must not double in
+    back = jnp.zeros((a_n,), bool)
+    o_back = o if a_n % 2 != 0 else o[:-1]
+    ks_back = ks if a_n % 2 != 0 else ks[:-1]
+    if o_back.shape[0]:
+        idx_back = (jnp.arange(a_n)[None, :] + ks_back[:, None]) % a_n
+        back = jnp.zeros((a_n,), bool).at[idx_back.reshape(-1)].max(
+            o_back.reshape(-1))
+    return hits | back
 
 
 def collision_multiple(vertices):

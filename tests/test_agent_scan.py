@@ -118,3 +118,30 @@ def test_vertices_pipeline_consistency():
     fwd = out[540]
     assert abs(fwd - (2.0 - 0.29)) < 0.05  # 2m gap minus half car length
     assert out.min() > 1.5 and (out == 30.0).sum() > 800
+
+
+def test_batched_opponent_axis_matches_loop():
+    """A > 4 dispatches the batched (A-1, A) opponent formulation
+    (ray_cast_all_opponents); it must equal the A<=4 rolled loop it
+    replaces bit-for-bit modulo min-accumulation order (exact here: the
+    same float min over the same operands commutes)."""
+    t = _tables()
+    rng = np.random.default_rng(11)
+    for A in (5, 8):   # (A=12 also verified; trimmed for fast-lane time)
+        poses = np.stack([rng.uniform(-3, 3, A), rng.uniform(-3, 3, A),
+                          rng.uniform(0, 2 * np.pi, A)], axis=-1)
+        verts = np.asarray(col.get_vertices(jnp.asarray(poses), 0.58, 0.31))
+        scans = rng.uniform(0.5, 10.0, (A, 1080))
+
+        # the rolled sequential form, inline (what A<=4 runs)
+        dirs = agent_scan.beam_dirs(jnp.asarray(poses)[..., 2], t)
+        want = jnp.asarray(scans)
+        for k in range(1, A):
+            want = agent_scan.ray_cast_opponent(
+                jnp.asarray(poses), want, jnp.roll(jnp.asarray(verts), -k,
+                                                   axis=0), t, dirs)
+
+        got = agent_scan.ray_cast_all_opponents(
+            jnp.asarray(poses), jnp.asarray(scans), jnp.asarray(verts), t)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"A={A}")

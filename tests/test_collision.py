@@ -109,3 +109,25 @@ def test_pairwise_hits_per_agent_extents():
         poses, jnp.asarray([1.6, 0.58]), 0.31)
     assert not bool(short.any())
     assert bool(long_.all())
+
+
+def test_pairwise_hits_batched_matches_collision_multiple():
+    """A > 4 dispatches the batched (K, A) roll formulation of
+    pairwise_hits_from_poses; its boolean must equal collision_multiple's
+    any-hit flag for random fields, including overlap chains."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for A in (5, 6, 8, 13, 16):
+        for trial in range(4):
+            # mix of spread-out and crowded spawns to get real overlaps
+            span = 3.0 if trial % 2 else 1.0
+            poses = np.stack([rng.uniform(-span, span, A),
+                              rng.uniform(-span, span, A),
+                              rng.uniform(0, 2 * np.pi, A)], axis=-1)
+            verts = col.get_vertices(jnp.asarray(poses), 0.58, 0.31)
+            want, _ = col.collision_multiple(verts)
+            got = col.pairwise_hits_from_poses(jnp.asarray(poses), 0.58, 0.31)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want).astype(bool),
+                err_msg=f"A={A} trial={trial}")

@@ -122,6 +122,134 @@ step = jax.jit(jax.vmap(lambda s, a: envlib.step(cfg, params, s, a)))
 s, obs, *_ = step(states, act)
 print("PASS env-step-default", float(jnp.sum(obs.scans)), flush=True)
 """,
+    # ---- spec-ttc WEDGE BISECTION (VERDICT r4 item 2) ----------------
+    # Four stages that approach the known relay-wedger from safe sides,
+    # each in its own killable subprocess.  Which one first hangs/fails
+    # localizes the trigger: compile vs execute, matmul vs consumer tail,
+    # multi-tile grid vs single tile.
+    "spec-compile-only": """
+# AOT compile of the full spec+iTTC kernel WITHOUT dispatching it: Mosaic
+# kernel compilation happens inside XLA compilation of the custom call, so
+# a hang here = compiler bug, a pass here + execute hang = runtime wedge.
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+K, T, B, A = 512, 128, 1080, 2
+fn = lambda s, w, v, m, n, c, d: pallas_scan.theta_spectral_ttc(
+    s, w, v, m, n, c, d, 30.0, 0.005, A)
+args = (jax.ShapeDtypeStruct((K, T), jnp.float32),
+        jax.ShapeDtypeStruct((K,), jnp.float32),
+        jax.ShapeDtypeStruct((K,), jnp.float32),
+        jax.ShapeDtypeStruct((T, B), jnp.float32),
+        jax.ShapeDtypeStruct((K // A, B), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.float32))
+jax.jit(fn).lower(*args).compile()
+print("PASS spec-compile-only", flush=True)
+""",
+    "spec-plain": """
+# the spectral render body ALONE (matmul + mask + clip, one output) in the
+# same launch geometry — no noise/iTTC tail, no second output
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from red_gym_tpu.ops.pallas_scan import ROW_TILE, BEAM_TILE
+rng = np.random.default_rng(0)
+K, T, B = 512, 128, 1080
+def kern(spec_ref, wsum_ref, smat_ref, out_ref):
+    s = spec_ref[:]
+    out = jnp.dot(s, smat_ref[:], preferred_element_type=s.dtype)
+    out = jnp.where(wsum_ref[:] > 0.0, out, 0.0)
+    out_ref[:] = jnp.clip(out, 0.0, 30.0)
+grid = (pl.cdiv(B, BEAM_TILE), pl.cdiv(K, ROW_TILE))
+out = pl.pallas_call(
+    kern, out_shape=jax.ShapeDtypeStruct((K, B), jnp.float32), grid=grid,
+    in_specs=[pl.BlockSpec((ROW_TILE, T), lambda j, i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((T, BEAM_TILE), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)],
+    out_specs=pl.BlockSpec((ROW_TILE, BEAM_TILE), lambda j, i: (i, j),
+                           memory_space=pltpu.VMEM),
+    interpret=jax.default_backend() != "tpu",
+)(jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+  jnp.asarray(rng.uniform(size=(K, 1)), jnp.float32),
+  jnp.asarray(rng.normal(size=(T, B)), jnp.float32))
+print("PASS spec-plain", float(jnp.sum(out)), flush=True)
+""",
+    "spec-tail-only": """
+# the noise+iTTC consumer tail and dual-output launch WITHOUT the matmul:
+# out starts as a broadcast of the row scalar (same shapes/outputs as the
+# full kernel)
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from red_gym_tpu.ops.pallas_scan import (ROW_TILE, BEAM_TILE,
+                                         _noise_ttc_tile)
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+def kern(wsum_ref, vel_ref, noise_ref, cos_ref, side_ref, out_ref, hit_ref):
+    out = jnp.broadcast_to(wsum_ref[:], (ROW_TILE, BEAM_TILE))
+    out_ref[:], hit_ref[:] = _noise_ttc_tile(
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:], A, B, 0.005)
+grid = (pl.cdiv(B, BEAM_TILE), pl.cdiv(K, ROW_TILE))
+jn = pl.cdiv(B, BEAM_TILE)
+beam_spec = pl.BlockSpec((1, BEAM_TILE), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+out, hit = pl.pallas_call(
+    kern,
+    out_shape=(jax.ShapeDtypeStruct((K, B), jnp.float32),
+               jax.ShapeDtypeStruct((8 * jn, K), jnp.float32)),
+    grid=grid,
+    in_specs=[pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec((ROW_TILE // A, BEAM_TILE), lambda j, i: (i, j),
+                           memory_space=pltpu.VMEM),
+              beam_spec, beam_spec],
+    out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((8, ROW_TILE), lambda j, i: (j, i),
+                            memory_space=pltpu.VMEM)),
+    interpret=jax.default_backend() != "tpu",
+)(jnp.asarray(rng.uniform(size=(K, 1)), jnp.float32),
+  jnp.asarray(rng.uniform(size=(K, 1), low=-3, high=6), jnp.float32),
+  jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+  jnp.asarray(rng.uniform(size=(1, B), low=-1, high=1), jnp.float32),
+  jnp.asarray(rng.uniform(size=(1, B), low=0.1, high=0.3), jnp.float32))
+print("PASS spec-tail-only", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
+    "spec-ttc-1tile": """
+# the FULL spec+iTTC kernel on a single-tile grid (K=256, B=384): isolates
+# multi-tile grid traversal from the kernel body
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 256, 128, 384, 2
+out, hit = pallas_scan.theta_spectral_ttc(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, B)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, A)
+print("PASS spec-ttc-1tile", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
     # LAST on purpose: the one stage observed to WEDGE the relay (round 4);
     # everything above must already be recorded before this dispatch.
     "pallas-spec-ttc": """
@@ -163,7 +291,9 @@ def main():
     # startup + jax import alone can eat minutes under load
     timeouts = {"xla": 300, "pallas-tiny": 300, "pallas-edge": 420,
                 "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
-                "env-step-default": 600}
+                "env-step-default": 600,
+                "spec-compile-only": 420, "spec-plain": 420,
+                "spec-tail-only": 420, "spec-ttc-1tile": 420}
     names = sys.argv[1:] or list(STAGES)
     unknown = [n for n in names if n not in STAGES]
     if unknown:
