@@ -42,14 +42,18 @@ STEPS = int(os.environ.get("BENCH_STEPS", 120))
 MODES = os.environ.get("BENCH_MODES", "ultra,default").split(",")
 
 _MODE_LABELS = {
-    "default": "library default: fast/nearest1/linear + edge/grad channels",
-    "ultra": "ultra: fast/nearest1/spectral (pre-r3 error class)",
+    "default": "library default: fast/nearest1/linear + edge/grad channels, "
+               "pool noise",
+    "ultra": "ultra: fast/nearest1/spectral (pre-r3 error class), pool noise",
     "t256": "default @ rt_theta_bins=256 (accuracy knob)",
     "legacy": "pre-r3 default: bilinear/linear, no channels",
     "bilinear": "bilinear/linear + edge/grad channels",
-    "pool": "library default + noise_mode=pool",
-    "fused": "library default + fuse_scan_ttc=on (noise+iTTC in-kernel)",
-    "fusedpool": "fuse_scan_ttc=on + noise_mode=pool",
+    "fresh": "default + noise_mode=fresh (the reference's per-step stream)",
+    "pool": "alias of default (pool noise IS the default since round 5)",
+    "fused": "default + fuse_scan_ttc=on (noise+iTTC in-kernel, explicit)",
+    "fusedpool": "alias of fused (pool noise is the default since round 5)",
+    "fusedopp": "fuse_scan_ttc=on + fuse_scan_opp=on (noise+iTTC+opponent "
+                "raycast in-kernel, explicit)",
     "ultrafused": "ultra (spectral) + fuse_scan_ttc=on (noise+iTTC in-kernel)",
 }
 
@@ -80,10 +84,12 @@ def make_cfg(mode: str):
         "legacy": dict(rt_occlusion="off", rt_grad=False,
                        rt_spatial="bilinear"),
         "bilinear": dict(rt_spatial="bilinear"),
-        "pool": dict(noise_mode="pool"),
+        "fresh": dict(noise_mode="fresh"),
+        "pool": {},
         "fused": dict(fuse_scan_ttc="on", scan_backend="pallas"),
-        "fusedpool": dict(fuse_scan_ttc="on", scan_backend="pallas",
-                          noise_mode="pool"),
+        "fusedpool": dict(fuse_scan_ttc="on", scan_backend="pallas"),
+        "fusedopp": dict(fuse_scan_ttc="on", scan_backend="pallas",
+                         fuse_scan_opp="on"),
         "ultrafused": dict(scan_interp="spectral", rt_grad=False,
                            rt_occlusion="off", fuse_scan_ttc="on",
                            scan_backend="pallas"),
@@ -150,6 +156,7 @@ def _child_measure(mode: str) -> int:
         kw = {"scan_backend": os.environ["BENCH_FORCE_BACKEND"]}
         if kw["scan_backend"] == "xla":
             kw["fuse_scan_ttc"] = "off"
+            kw["fuse_scan_opp"] = "off"
         cfg = dataclasses.replace(cfg, **kw)
     rate = measure(cfg)
     print(f"RATE {rate:.1f}", flush=True)
@@ -282,6 +289,24 @@ out2, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
     30.0, 0.005, 2)
 print("PALLAS_OK", float(jnp.sum(out2) + jnp.sum(hit)), flush=True)
 """,
+    "edge_ttc_opp": """
+import numpy as np
+opp = np.zeros((K, 10), np.float32)
+opp[:, 0] = 100; opp[:, 1] = 700; opp[:, 2] = 1.0; opp[:, 5] = 1.0
+opp[:, 6] = -5.0; opp[:, 8] = 1.0; opp[:, 9] = 1.0
+out4, hit4 = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
+    *(jnp.asarray(r.normal(size=(K, T)), jnp.float32) for _ in range(3)),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32), jnp.ones((K,), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * r.normal(size=(K // 2, B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    jnp.asarray(opp), 30.0, 0.005, 2)
+print("PALLAS_OK", float(jnp.sum(out4) + jnp.sum(hit4)), flush=True)
+""",
     "spec_ttc": """
 out3, hit3 = pallas_scan.theta_spectral_ttc(
     jnp.asarray(r.normal(size=(K, T)), jnp.float32),
@@ -373,21 +398,29 @@ def main():
         return
 
     where = "1 chip" if backend == "tpu" else f"1 {backend} host"
-    edge_modes = {"default", "t256", "bilinear", "pool"}
-    fused_modes = {"fused", "fusedpool"}
+    edge_modes = {"default", "t256", "bilinear", "pool", "fresh"}
+    fused_modes = {"fused", "fusedpool", "fusedopp"}
     # scan_backend="auto" resolves from the cached on-chip capability probe
     # (config.py); the bench additionally re-probes here in a killable
     # subprocess so a regressed Mosaic toolchain can never hang the bench —
     # each mode gets the Pallas path iff ITS kernel's probe passes,
     # measuring the best configuration that provably runs.
     on_tpu = backend == "tpu"
-    edge_probed = on_tpu and any(m in edge_modes for m in MODES)
-    edge_ok = (edge_probed
+    # probe every Mosaic kernel the edge-family modes could dispatch; each
+    # mode is then PINNED to exactly what its probes proved (pallas
+    # backend, ttc fusion, opp fusion), so the measured configuration is
+    # the best one that provably runs and the label states it — never the
+    # resolution of a possibly-stale capability record
+    any_edge = any(m in (edge_modes | fused_modes) for m in MODES)
+    edge_ok = (on_tpu and any_edge
                and _pallas_preflight("edge", min(preflight_t * 2,
                                                  _remaining())))
-    fused_ok = (on_tpu and any(m in fused_modes for m in MODES)
+    fused_ok = (edge_ok
                 and _pallas_preflight("edge_ttc", min(preflight_t * 2,
                                                       _remaining())))
+    opp_ok = (fused_ok and N_AGENTS >= 2
+              and _pallas_preflight("edge_ttc_opp", min(preflight_t * 2,
+                                                        _remaining())))
 
     # Measure the default mode FIRST (the number the round owes), emit it,
     # then the other modes, then re-emit the default line LAST so it is the
@@ -411,14 +444,24 @@ def main():
         extra = {}
         if mode in edge_modes and edge_ok:
             extra["BENCH_FORCE_BACKEND"] = "pallas"
-            label += " [pallas epilogue]"
-        elif mode in edge_modes and edge_probed:
+            extra["RGT_FUSE_TTC"] = "on" if fused_ok else "off"
+            extra["RGT_FUSE_OPP"] = "on" if opp_ok else "off"
+            label += " [pallas"
+            label += "+ttc" if fused_ok else ""
+            label += "+opp" if opp_ok else ""
+            label += " fused]" if fused_ok else " epilogue]"
+        elif mode in edge_modes and on_tpu and any_edge:
             # probe failed: pin XLA so a stale capability record can't
             # steer "auto" into the very dispatch the probe just rejected
             extra["BENCH_FORCE_BACKEND"] = "xla"
         elif mode in fused_modes and on_tpu and not fused_ok:
             extra["BENCH_FORCE_BACKEND"] = "xla"
             label += " [UNFUSED xla fallback: pallas unavailable]"
+        elif mode == "fusedopp" and on_tpu and not opp_ok:
+            extra["BENCH_FORCE_BACKEND"] = "xla"
+            label += " [UNFUSED xla fallback: opp kernel probe failed]"
+        elif mode in fused_modes and on_tpu:
+            extra["RGT_FUSE_OPP"] = "on" if opp_ok else "off"
         elif mode == "ultrafused" and on_tpu:
             if default_line is not None and len(modes) > 1:
                 print(json.dumps(default_line), flush=True)  # bank it first

@@ -121,16 +121,22 @@ class SimConfig:
     scan_noise_std: float = 0.01        # gaussian beam noise (laser_models.py:429)
     # iTTC wall-collision threshold (base_classes.py:113)
     ttc_thresh: float = 0.005
-    # scan-noise generation.  "fresh" (default): one threefry N(0, sigma)
-    # draw per env per step — exact gaussian, fresh stream (reference
-    # semantics, laser_models.py:450-452).  "pool": precompute
-    # noise_pool_rows gaussian beam-rows once; each env/step draws ONE row
-    # index from its per-step RNG key (env._noise_row: a single randint +
-    # contiguous row fetch instead of 17M transcendentals/step at 16k
-    # envs).  Same marginal distribution,
-    # deterministic under the same key; rows recur across envs/steps —
-    # fine for sensor noise, not for anything cryptographic.
-    noise_mode: str = "fresh"
+    # scan-noise generation.  "pool" (default since round 5): precompute
+    # noise_pool_rows exact threefry N(0, sigma) beam-rows once; each
+    # env/step draws ONE row index from its per-step RNG key
+    # (env._noise_row: a single randint + contiguous row fetch instead of
+    # 17M fresh transcendentals/step at 16k envs — ~+9% whole-step
+    # throughput).  Same marginal distribution (rows ARE exact gaussians;
+    # moments/uniformity gated by tests/test_infra.py::
+    # test_noise_pool_statistics_match_fresh), deterministic under the
+    # same key.  The one statistical difference from "fresh" is cross-env
+    # row sharing within a step (~envs/rows envs see the same row), which
+    # is zero-mean and cannot bias a gradient expectation — analysis in
+    # docs/performance.md.  "fresh": one threefry draw per env per step —
+    # the reference's exact semantics (laser_models.py:450-452); use for
+    # noise-stream-sensitive studies, not for anything cryptographic
+    # either way.
+    noise_mode: str = "pool"
     noise_pool_rows: int = 1024
     # steering delay depth (base_classes.py:107)
     steer_delay: int = 2
@@ -247,6 +253,19 @@ class SimConfig:
     # overrides).  The spectral-fused kernel is never auto-selected — its
     # dispatch wedged the relayed TPU (round 4) and stays explicit-only.
     fuse_scan_ttc: str = "auto"
+    # additionally fuse the OPPONENT ray cast into the same kernel (the
+    # last consumer of the scan): the (E, A, B) scan tensor is then written
+    # to HBM exactly once, post-noise/iTTC/opponents, instead of the
+    # separate XLA opponent pass re-reading and re-writing it (~0.38
+    # ms/step at 16k 2-agent envs, tools/roofline.py ablation).  Needs the
+    # fused edge+iTTC path and num_agents >= 2; "auto" resolves from the
+    # capability record's opp-kernel probe verdict (a distinct Mosaic
+    # program from edge_ttc; RGT_FUSE_OPP=on|off overrides).  The fused
+    # opponent min uses the same slab geometry with the heading rotation
+    # folded into the box axes — algebraically identical to
+    # agent_scan.ray_cast_opponent, float-associated differently (parity
+    # tests pin agreement to ~1e-5 relative).
+    fuse_scan_opp: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -277,6 +296,9 @@ class SimConfig:
         if self.fuse_scan_ttc not in ("auto", "on", "off"):
             raise ValueError(f"fuse_scan_ttc must be 'auto'|'on'|'off', got "
                              f"{self.fuse_scan_ttc!r}")
+        if self.fuse_scan_opp not in ("auto", "on", "off"):
+            raise ValueError(f"fuse_scan_opp must be 'auto'|'on'|'off', got "
+                             f"{self.fuse_scan_opp!r}")
         if self.noise_mode not in ("fresh", "pool"):
             raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
                              f"{self.noise_mode!r}")

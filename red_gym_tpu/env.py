@@ -236,17 +236,30 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         return cfg.scan_noise_std * jax.random.normal(
             sub, (cfg.num_beams,), dtype=dtype)
 
+    # body vertices serve the opponent ray cast (fused or XLA) below; the
+    # body-collision SAT runs straight from poses
+    verts = col.get_vertices(poses, p.length, p.width)
+
     ttc_hit = None
+    opp_fused = False
     if cfg.scan_mode == "fast" and scan_fast.use_fused_ttc(cfg):
         # noise add + wall-iTTC fused into the scan epilogue kernel
         # (SimConfig.fuse_scan_ttc); same RNG stream, same semantics as the
-        # unfused path below — iTTC sees the noisy pre-opponent scan
+        # unfused path below — iTTC sees the noisy pre-opponent scan.
+        # With fuse_scan_opp resolving on, the opponent ray cast rides the
+        # same kernel (the scan tensor then hits HBM exactly once).
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
         noise = (_noise_row(dt) if cfg.scan_noise_std > 0
                  else jnp.zeros((cfg.num_beams,), dt))
+        fused = (noise, xt[3])
+        if scan_fast.use_fused_opp(cfg):
+            opp = agent_scan.opponent_slab_scalars(poses, verts,
+                                                   params.tables)
+            fused = (noise, xt[3], opp)
+            opp_fused = True
         scans, hit01 = scan_fast.trace_fast_mxu(
             poses, params.tables, params.tmap, params.rtex, cfg,
-            midx=state.map_idx, fused_ttc=(noise, xt[3]))
+            midx=state.map_idx, fused_ttc=fused)
         ttc_hit = (hit01 > 0) & (xt[3] != 0.0)
     elif cfg.scan_mode == "fast":
         scans = scan_fast.trace_fast_mxu(poses, params.tables, params.tmap,
@@ -258,10 +271,9 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         scans = scans + _noise_row(scans.dtype)[None, :]
 
     # pairwise body collision (base_classes.py:529-543) — rectangle SAT
-    # straight from poses (vertices are still built for the opponent ray
-    # cast below); same boolean as collision_multiple, ~30 fused scalar ops
-    # instead of tiny padded einsums (2.4 ms/step -> noise at 16k envs)
-    verts = col.get_vertices(poses, p.length, p.width)
+    # straight from poses; same boolean as collision_multiple, ~30 fused
+    # scalar ops instead of tiny padded einsums (2.4 ms/step -> noise at
+    # 16k envs)
     body_hits = col.pairwise_hits_from_poses(
         poses, p.length, p.width).astype(x.dtype)
 
@@ -274,8 +286,11 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     freeze = ttc_hit[:, None] & (jnp.arange(x.shape[-1]) >= 3)
     x = jnp.where(freeze, 0.0, x)
 
-    # opponent ray casting on the fused scans (base_classes.py:204-225)
-    scans = agent_scan.ray_cast_all_opponents(poses, scans, verts, params.tables)
+    # opponent ray casting on the fused scans (base_classes.py:204-225) —
+    # already applied in-kernel when the opp-fused epilogue was active
+    if not opp_fused:
+        scans = agent_scan.ray_cast_all_opponents(poses, scans, verts,
+                                                  params.tables)
 
     collisions = jnp.maximum(body_hits, ttc_hit.astype(body_hits.dtype))
 

@@ -322,6 +322,62 @@ def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac,
 # env slab and expands it across the A agent rows in VMEM (requires
 # A | ROW_TILE; callers fall back to the unfused path otherwise).
 
+def _opp_raycast_tile(out, opp, cos, sin, n_opp):
+    """Fused opponent ray casting on the rendered tile (the last consumer
+    of the scan in env.sim_step — ops/agent_scan.py::ray_cast_all_opponents
+    semantics).  ``opp`` is the (RT, 10 * n_opp) per-row slab-scalar pack
+    from scan_fast.opponent_slab_scalars: per opponent
+    [lo, hi, a_u, b_u, a_w, b_w, o_u, o_w, hu, hw] where the beam direction
+    in the opponent's box frame is d_u = a_u cos_b + b_u sin_b (a per-row
+    rotation folded with the box axes — two FMAs per beam against the
+    static tables instead of materializing (rows, B, 2) world dirs).
+    In plain XLA this stage costs a full read + write of the (E, A, B)
+    scan tensor (~0.38 ms/step measured at 16k 2-agent envs); here the
+    tile is still in registers."""
+    rt, bt = out.shape
+    j = pl.program_id(0)
+    beam_pos = (j * bt
+                + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+                ).astype(out.dtype)                       # (1, BT)
+    inf = jnp.asarray(jnp.inf, out.dtype)
+    for o in range(n_opp):
+        c0 = 10 * o
+        col = lambda k: opp[:, c0 + k:c0 + k + 1]         # (RT, 1)
+        lo, hi = col(0), col(1)
+        a_u, b_u, a_w, b_w = col(2), col(3), col(4), col(5)
+        o_u, o_w, hu, hw = col(6), col(7), col(8), col(9)
+        d_u = a_u * cos + b_u * sin                       # (RT, BT)
+        d_w = a_w * cos + b_w * sin
+        # slab test (agent_scan._slab), inlined with the same
+        # parallel-beam rescue semantics
+        inv_u = 1.0 / d_u
+        t1u = (-hu - o_u) * inv_u
+        t2u = (hu - o_u) * inv_u
+        near_u = jnp.minimum(t1u, t2u)
+        far_u = jnp.maximum(t1u, t2u)
+        par_u = d_u == 0.0
+        in_u = jnp.abs(o_u) <= hu
+        near_u = jnp.where(par_u, jnp.where(in_u, -inf, inf), near_u)
+        far_u = jnp.where(par_u, jnp.where(in_u, inf, -inf), far_u)
+        inv_w = 1.0 / d_w
+        t1w = (-hw - o_w) * inv_w
+        t2w = (hw - o_w) * inv_w
+        near_w = jnp.minimum(t1w, t2w)
+        far_w = jnp.maximum(t1w, t2w)
+        par_w = d_w == 0.0
+        in_w = jnp.abs(o_w) <= hw
+        near_w = jnp.where(par_w, jnp.where(in_w, -inf, inf), near_w)
+        far_w = jnp.where(par_w, jnp.where(in_w, inf, -inf), far_w)
+        tmin = jnp.maximum(near_u, near_w)
+        tmax = jnp.minimum(far_u, far_w)
+        hit = (tmax >= tmin) & (tmax >= 0.0)
+        t = jnp.where(tmin >= 0.0, tmin, tmax)
+        t = jnp.where(hit, t, inf)
+        mask = (beam_pos >= lo) & (beam_pos <= hi)
+        out = jnp.where(mask, jnp.minimum(out, t), out)
+    return out
+
+
 def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
                      vel_ref, g0_ref, g1_ref, g2_ref, cf_ref, noise_ref,
                      cos_ref, side_ref, out_ref, hit_ref, *,
@@ -333,6 +389,23 @@ def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
     out_ref[:], hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh)
+
+
+def _edge_ttc_opp_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
+                         vel_ref, g0_ref, g1_ref, g2_ref, cf_ref, noise_ref,
+                         cos_ref, sin_ref, side_ref, opp_ref, out_ref,
+                         hit_ref, *, max_range, ttc_thresh, agents_per_env,
+                         n_beams, n_opp, ew_dtype):
+    out = _edge_render_tile(
+        specr_ref[:], spece_ref[:], specw_ref[:], g0_ref[:], g1_ref[:],
+        g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range, ew_dtype)
+    # order matches env.sim_step: noise -> iTTC partial (pre-opponent
+    # scan, reference base_classes.py:227-252) -> opponent ray cast
+    out, hit_ref[:] = _noise_ttc_tile(
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
+        agents_per_env, n_beams, ttc_thresh)
+    out_ref[:] = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
+                                   n_opp)
 
 
 @functools.lru_cache(maxsize=None)
@@ -429,6 +502,125 @@ def _make_edge_ttc(max_range: float, ttc_thresh: float, agents_per_env: int,
                 hit.reshape(e, k_n)), (True, True)
 
     return edge_ttc
+
+
+@functools.lru_cache(maxsize=None)
+def _make_edge_ttc_opp(max_range: float, ttc_thresh: float,
+                       agents_per_env: int, n_opp: int, ew_dtype="bfloat16"):
+    a_n = agents_per_env
+    assert ROW_TILE % a_n == 0
+
+    @jax.custom_batching.custom_vmap
+    def edge_ttc_opp(spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac,
+                     noise, cosines, sines, side_dist, opp):
+        """Edge render + noise + iTTC + opponent ray cast in ONE kernel.
+
+        Same contract as edge_ttc plus ``sines`` (B,) static beam sines and
+        ``opp`` (K, 10 * n_opp) slab scalars (scan_fast.
+        opponent_slab_scalars).  Returns (post-opponent noisy scan (K, B),
+        pre-opponent iTTC hit (K,))."""
+        k_n, t_bins = spec_r.shape
+        b_n = c_frac.shape[0]
+        dtype = spec_r.dtype
+        assert k_n == noise.shape[0] * a_n
+        assert opp.shape == (k_n, 10 * n_opp)
+
+        g0m = gmat[:, :b_n]
+        g1m = gmat[:, b_n:2 * b_n]
+        g2m = gmat[:, 2 * b_n:]
+        fs2 = f_s[:, None].astype(dtype)
+        ws2 = wsum[:, None].astype(dtype)
+        vel2 = vel[:, None].astype(dtype)
+        cf2 = c_frac[None, :].astype(dtype)
+        cos2 = cosines[None, :].astype(dtype)
+        sin2 = sines[None, :].astype(dtype)
+        side2 = side_dist[None, :].astype(dtype)
+
+        grid = (pl.cdiv(b_n, BEAM_TILE), pl.cdiv(k_n, ROW_TILE))
+        interpret = jax.default_backend() != "tpu"
+
+        row_spec = pl.BlockSpec((ROW_TILE, t_bins), lambda j, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((t_bins, BEAM_TILE), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM)
+        scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        beam_spec = pl.BlockSpec((1, BEAM_TILE), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM)
+        jn = pl.cdiv(b_n, BEAM_TILE)
+        out, hit = pl.pallas_call(
+            functools.partial(_edge_ttc_opp_kernel, max_range=max_range,
+                              ttc_thresh=ttc_thresh, agents_per_env=a_n,
+                              n_beams=b_n, n_opp=n_opp, ew_dtype=ew_dtype),
+            out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
+                       jax.ShapeDtypeStruct((8 * jn, k_n), dtype)),
+            grid=grid,
+            in_specs=[row_spec, row_spec, row_spec, scal_spec, scal_spec,
+                      scal_spec, col_spec, col_spec, col_spec, beam_spec,
+                      pl.BlockSpec((ROW_TILE // a_n, BEAM_TILE),
+                                   lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+                      beam_spec, beam_spec, beam_spec,
+                      pl.BlockSpec((ROW_TILE, 10 * n_opp),
+                                   lambda j, i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((ROW_TILE, BEAM_TILE),
+                                    lambda j, i: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, ROW_TILE), lambda j, i: (j, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(spec_r, spec_e, spec_w, fs2, ws2, vel2, g0m, g1m, g2m, cf2,
+          noise, cos2, sin2, side2, opp)
+        return out, jnp.max(hit, axis=0)
+
+    @edge_ttc_opp.def_vmap
+    def _vmap_rule(axis_size, in_batched, spec_r, spec_e, spec_w, f_s, wsum,
+                   vel, gmat, c_frac, noise, cosines, sines, side_dist, opp):
+        (srb, seb, swb, fb, wb, vb, gb, cb, nb, cob, sib, sdb,
+         ob) = in_batched
+        assert not (gb or cb or cob or sib or sdb), \
+            "constants must not carry a batch axis"
+
+        def mat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        spec_rb = mat(spec_r, srb)          # (E, K, T)
+        spec_eb = mat(spec_e, seb)
+        spec_wb = mat(spec_w, swb)
+        fs_b = mat(f_s, fb)                 # (E, K)
+        ws_b = mat(wsum, wb)
+        vel_b = mat(vel, vb)
+        noise_b = mat(noise, nb)            # (E, Eg, B)
+        opp_b = mat(opp, ob)                # (E, K, 10 * n_opp)
+        e, k_n, t_bins = spec_rb.shape
+        noise_b = noise_b.reshape(e * noise_b.shape[1], noise_b.shape[2])
+        out, hit = edge_ttc_opp(
+            spec_rb.reshape(e * k_n, t_bins),
+            spec_eb.reshape(e * k_n, t_bins),
+            spec_wb.reshape(e * k_n, t_bins),
+            fs_b.reshape(e * k_n), ws_b.reshape(e * k_n),
+            vel_b.reshape(e * k_n), gmat, c_frac, noise_b, cosines, sines,
+            side_dist, opp_b.reshape(e * k_n, opp_b.shape[-1]))
+        return (out.reshape(e, k_n, out.shape[-1]),
+                hit.reshape(e, k_n)), (True, True)
+
+    return edge_ttc_opp
+
+
+def theta_shuffle_blend_edge_ttc_opp(spec_r, spec_e, spec_w, f_s, wsum, vel,
+                                     gmat, c_frac, noise, cosines, sines,
+                                     side_dist, opp, max_range: float,
+                                     ttc_thresh: float, agents_per_env: int,
+                                     ew_dtype=jnp.bfloat16):
+    """Fully-fused scan epilogue: edge render + noise + iTTC + opponent ray
+    cast (see _opp_raycast_tile).  ``opp`` is (K, 10 * n_opp)."""
+    n_opp = opp.shape[-1] // 10
+    return _make_edge_ttc_opp(float(max_range), float(ttc_thresh),
+                              int(agents_per_env), int(n_opp),
+                              jnp.dtype(ew_dtype).name)(
+        spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac, noise,
+        cosines, sines, side_dist, opp)
 
 
 # ---------------------------------------------------------------------------

@@ -742,6 +742,31 @@ def use_fused_ttc(cfg: SimConfig) -> bool:
     return False
 
 
+def use_fused_opp(cfg: SimConfig) -> bool:
+    """True iff the opponent ray cast ALSO rides the fused scan epilogue
+    (pallas_scan.theta_shuffle_blend_edge_ttc_opp): env.sim_step then
+    writes the (E, A, B) scan tensor to HBM exactly once — the separate
+    XLA opponent pass costs a full read + write of it (~0.38 ms/step
+    measured at 16k 2-agent envs, tools/roofline.py).  Requires the fused
+    edge+iTTC path; "auto" additionally requires this machine's probe
+    record to cover the opp kernel (it is a distinct Mosaic program — the
+    edge_ttc probe verdict does not transfer)."""
+    if cfg.fuse_scan_opp == "off" or cfg.num_agents < 2:
+        return False
+    if not use_fused_ttc(cfg) or cfg.rt_eff_occlusion != "edge":
+        if cfg.fuse_scan_opp == "on":
+            raise ValueError(
+                "fuse_scan_opp='on' needs the fused edge+iTTC path "
+                "(fuse_scan_ttc resolving on, rt_occlusion='edge') and "
+                "num_agents >= 2")
+        return False
+    if cfg.fuse_scan_opp == "on":
+        return True
+    from red_gym_tpu.utils import capability
+
+    return capability.fused_opp_enabled()
+
+
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                    rtex: RangeTexture, cfg: SimConfig, midx=None,
                    fused_ttc=None):
@@ -947,14 +972,32 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
 
         if e_b is not None and fused_ttc is not None:
             # fused consumers (use_fused_ttc): noise add + iTTC check ride
-            # the same kernel.  Contract: ONE env per call — pose (A, 3),
-            # noise (B,), vel (A,); batching over envs goes through vmap
-            # (the kernel's custom_vmap rule collapses the env axis).
-            noise, vel = fused_ttc
+            # the same kernel — and, when the caller supplies the packed
+            # opponent slab scalars (use_fused_opp), the opponent ray cast
+            # too, so the (E, A, B) scan tensor is written to HBM exactly
+            # once, post-everything.  Contract: ONE env per call — pose
+            # (A, 3), noise (B,), vel (A,), opp (A, 10*(A-1)); batching
+            # over envs goes through vmap (the kernel's custom_vmap rule
+            # collapses the env axis).
+            noise, vel = fused_ttc[0], fused_ttc[1]
+            opp = fused_ttc[2] if len(fused_ttc) > 2 else None
             batch = spec_r.shape[:-2]
             a_n = 1
             for d in batch:
                 a_n *= int(d)
+            if opp is not None:
+                out, hit = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
+                    spec_r[..., 0, :].reshape((-1, t_bins)),
+                    spec_r[..., 1, :].reshape((-1, t_bins)),
+                    spec_r[..., 2, :].reshape((-1, t_bins)),
+                    f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
+                    vel.reshape((-1,)), rtex.gmat, c_frac,
+                    noise.reshape((1, -1)), tables.beam_cosines,
+                    tables.beam_sines, tables.side_distances,
+                    opp.reshape((-1, opp.shape[-1])), cfg.max_range,
+                    cfg.ttc_thresh, a_n,
+                    ew_dtype=_resolve_ew_dtype(cfg, dtype))
+                return out.reshape(batch + (b_n,)), hit.reshape(batch)
             out, hit = pallas_scan.theta_shuffle_blend_edge_ttc(
                 spec_r[..., 0, :].reshape((-1, t_bins)),
                 spec_r[..., 1, :].reshape((-1, t_bins)),

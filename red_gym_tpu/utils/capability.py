@@ -93,3 +93,19 @@ def fused_ttc_enabled() -> bool:
         return False
     rec = read_record()
     return bool(rec.get("edge_ttc_ok")) and bool(rec.get("fused_faster"))
+
+
+def fused_opp_enabled() -> bool:
+    """Resolution of fuse_scan_opp="auto": the opp-fused kernel is a
+    DISTINCT Mosaic program from edge_ttc, so it needs its own probe
+    verdict (tools/probe_pallas.py pallas-edge-ttc-opp) and end-to-end
+    A/B (tools/ablate_default.py --record, key opp_faster)."""
+    ov = os.environ.get("RGT_FUSE_OPP", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    if not fused_ttc_enabled():
+        return False
+    rec = read_record()
+    return bool(rec.get("edge_ttc_opp_ok")) and bool(rec.get("opp_faster"))

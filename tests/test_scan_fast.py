@@ -783,3 +783,62 @@ def test_pad_texture_equals_padded_map_build():
     assert scan_fast.pad_texture(t, int(t.hc), int(t.wc)) is t
     with pytest.raises(ValueError):
         scan_fast.pad_texture(t, int(t.hc) - 1, int(t.wc))
+
+
+def test_fused_opp_epilogue_matches_unfused(setup_edge):
+    """The fully-fused epilogue (fuse_scan_opp: edge render + noise + iTTC
+    + opponent ray cast in one kernel) matches pallas-edge + XLA noise +
+    check_ttc + ray_cast_all_opponents.  The in-kernel slab test folds the
+    heading rotation into the box axes (algebraically identical to
+    agent_scan.ray_cast_opponent, float-associated differently), so scans
+    carry an fp tolerance; a beam can only disagree beyond it at a grazing
+    box-corner hit, which these fixtures avoid."""
+    import dataclasses
+
+    from red_gym_tpu.ops import agent_scan, collision as col
+
+    tmap, tables, rtex = setup_edge
+    cfg = dataclasses.replace(CFG_EDGE, scan_backend="pallas",
+                              ttc_thresh=2.0, num_agents=2)
+    e_n, a_n = 4, 2
+    rng = np.random.default_rng(5)
+    base = _free_poses(tmap, e_n, seed=37)
+    # opponent placed 1-3 m ahead-ish of the ego so the blocked window and
+    # slab hits are actually exercised
+    opp_off = rng.uniform(-2.5, 2.5, (e_n, 2))
+    opp_pose = np.stack([base[:, 0] + opp_off[:, 0],
+                         base[:, 1] + opp_off[:, 1],
+                         rng.uniform(0, 2 * np.pi, e_n)], axis=-1)
+    pv = jnp.asarray(np.stack([base, opp_pose], axis=1))     # (E, A, 3)
+    noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg.num_beams)))
+    vel = jnp.asarray(rng.uniform(-2.0, 6.0, (e_n, a_n)))
+
+    length, width = 0.58, 0.31
+
+    def fused_one(po, no, ve):
+        verts = col.get_vertices(po, length, width)
+        opp = agent_scan.opponent_slab_scalars(po, verts, tables)
+        return scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg,
+                                        fused_ttc=(no, ve, opp))
+
+    scans_f, hit01 = jax.jit(jax.vmap(fused_one))(pv, noise, vel)
+    hit_f = np.asarray((hit01 > 0) & (vel != 0.0))
+
+    plain = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg)))
+    scans_n = plain(pv) + noise[:, None, :]
+    hit_u = np.asarray(agent_scan.check_ttc(scans_n, vel, tables,
+                                            cfg.ttc_thresh))
+
+    def opp_one(po, sc):
+        verts = col.get_vertices(po, length, width)
+        return agent_scan.ray_cast_all_opponents(po, sc, verts, tables)
+
+    scans_u = jax.jit(jax.vmap(opp_one))(pv, scans_n)
+
+    np.testing.assert_allclose(np.asarray(scans_f), np.asarray(scans_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(hit_f, hit_u)
+    # contract guard: the opponent cast actually shortened some beams
+    assert (np.asarray(scans_u) < np.asarray(scans_n) - 1e-6).any(), \
+        "degenerate fixture: no beam blocked by an opponent"

@@ -29,6 +29,10 @@ VARIANTS = {
     "edge/fused-ttc": dict(fuse_scan_ttc="on", scan_backend="pallas"),
     "edge/fused-ttc+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
                                 noise_mode="pool"),
+    "edge/fused-opp": dict(fuse_scan_ttc="on", scan_backend="pallas",
+                           fuse_scan_opp="on"),
+    "edge/fused-opp+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
+                                fuse_scan_opp="on", noise_mode="pool"),
     "edge/nonoise": dict(scan_noise_std=0.0),
     "ultra/pool": dict(scan_interp="spectral", rt_grad=False,
                        rt_occlusion="off", noise_mode="pool"),
@@ -64,6 +68,10 @@ def main():
         if "edge/fused-ttc" in rates and "edge/pallas" in rates:
             upd["fused_faster"] = rates["edge/fused-ttc"] > rates["edge/pallas"]
             upd["rate_edge_fused"] = round(rates["edge/fused-ttc"], 1)
+        if "edge/fused-opp" in rates and "edge/fused-ttc" in rates:
+            upd["opp_faster"] = (rates["edge/fused-opp"]
+                                 > rates["edge/fused-ttc"])
+            upd["rate_edge_fused_opp"] = round(rates["edge/fused-opp"], 1)
         if upd:
             path = capability.write_record(upd)
             print(json.dumps({"recorded": upd, "path": path}), flush=True)

@@ -122,6 +122,33 @@ step = jax.jit(jax.vmap(lambda s, a: envlib.step(cfg, params, s, a)))
 s, obs, *_ = step(states, act)
 print("PASS env-step-default", float(jnp.sum(obs.scans)), flush=True)
 """,
+    "pallas-edge-ttc-opp": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+opp = np.zeros((K, 10), np.float32)
+opp[:, 0] = 100; opp[:, 1] = 700; opp[:, 2] = 1.0; opp[:, 5] = 1.0
+opp[:, 6] = -5.0; opp[:, 8] = 1.0; opp[:, 9] = 1.0
+out, hit = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.normal(size=(K, T)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,), low=-3, high=6), jnp.float32),
+    jnp.asarray(rng.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    jnp.asarray(opp), 30.0, 0.005, A)
+print("PASS pallas-edge-ttc-opp", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
     # ---- spec-ttc WEDGE BISECTION (VERDICT r4 item 2) ----------------
     # Four stages that approach the known relay-wedger from safe sides,
     # each in its own killable subprocess.  Which one first hangs/fails
@@ -291,7 +318,7 @@ def main():
     # startup + jax import alone can eat minutes under load
     timeouts = {"xla": 300, "pallas-tiny": 300, "pallas-edge": 420,
                 "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
-                "env-step-default": 600,
+                "env-step-default": 600, "pallas-edge-ttc-opp": 420,
                 "spec-compile-only": 420, "spec-plain": 420,
                 "spec-tail-only": 420, "spec-ttc-1tile": 420}
     names = sys.argv[1:] or list(STAGES)
@@ -304,6 +331,7 @@ def main():
     # (utils/capability.py; backend parsed from the xla stage's output so
     # the parent never touches the possibly-wedged device itself)
     record_keys = {"pallas-edge": "edge_ok", "pallas-edge-ttc": "edge_ttc_ok",
+                   "pallas-edge-ttc-opp": "edge_ttc_opp_ok",
                    "pallas-spec-ttc": "spec_ttc_ok"}
     backend = None
 

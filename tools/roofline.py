@@ -121,10 +121,19 @@ def profile_kernels(cfg, n_envs, steps, top=25):
     pbs = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
     if not pbs:
         return None, "no xplane.pb produced"
-    try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except ImportError:
-        return None, "tensorboard_plugin_profile unavailable"
+    xplane_pb2 = None
+    for mod in ("tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "tsl.profiler.protobuf.xplane_pb2"):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        return None, "no xplane proto module available"
     space = xplane_pb2.XSpace()
     with open(pbs[0], "rb") as f:
         space.ParseFromString(f.read())
@@ -140,7 +149,15 @@ def profile_kernels(cfg, n_envs, steps, top=25):
         for line in plane.lines:
             for ev in line.events:
                 agg[emeta.get(ev.metadata_id, "?")] += ev.duration_ps / 1e9
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    # async DMA spans (copy-start/slice-start) overlap compute — their
+    # durations measure waiting, not exclusive time — and the outer
+    # while/jit wrappers double-count everything inside them; keep the
+    # COMPUTE events (fusions, custom calls, dots) for the exclusive table
+    skip = ("copy-", "slice-start", "%while", "jit_", "dynamic-update-slice",
+            "all-reduce-start")
+    rows = sorted(((k, v) for k, v in agg.items()
+                   if not any(s in k for s in skip)),
+                  key=lambda kv: -kv[1])[:top]
     return rows, None
 
 
