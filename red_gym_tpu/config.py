@@ -266,6 +266,16 @@ class SimConfig:
     # agent_scan.ray_cast_opponent, float-associated differently (parity
     # tests pin agreement to ~1e-5 relative).
     fuse_scan_opp: str = "auto"
+    # one-launch megakernel for the whole post-gather scan pipeline
+    # (pallas_scan.mega_edge_ttc): channel corrections, edge parallax, the
+    # packed-DFT roll, tap matmuls, ramp render, noise add and iTTC all run
+    # in a single Pallas kernel fed by the raw texture-row gather — the
+    # ~10-kernel XLA chain between gather and epilogue measured 1.7 ms/step
+    # at <20% hardware utilization (round-5 profiler, docs/performance.md).
+    # Applies to the default pipeline only (fast/nearest1/linear/edge+grad,
+    # float32); "auto" resolves from the capability record's probe + A/B
+    # verdicts (RGT_MEGA=on|off overrides).
+    scan_megakernel: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -299,6 +309,9 @@ class SimConfig:
         if self.fuse_scan_opp not in ("auto", "on", "off"):
             raise ValueError(f"fuse_scan_opp must be 'auto'|'on'|'off', got "
                              f"{self.fuse_scan_opp!r}")
+        if self.scan_megakernel not in ("auto", "on", "off"):
+            raise ValueError(f"scan_megakernel must be 'auto'|'on'|'off', "
+                             f"got {self.scan_megakernel!r}")
         if self.noise_mode not in ("fresh", "pool"):
             raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
                              f"{self.noise_mode!r}")

@@ -31,6 +31,20 @@ from red_gym_tpu.maps.loader import TrackMap, load_map
 from red_gym_tpu.ops import agent_scan, collision as col, dynamics as dyn, integrate
 from red_gym_tpu.ops import scan as scan_ops, scan_fast
 
+import os as _os
+
+def _fast_scan_entry():
+    # Default: the plain vmapped trace_fast_mxu.  The manually-flattened
+    # custom_vmap entry (scan_fast.trace_fast_mxu_batched) was built on the
+    # hypothesis that collapsing (env, agent) before the pipeline would
+    # clean up vmap-induced layouts — MEASURED SLOWER on chip (A/B/A at 16k
+    # envs: flat 3.49/3.53M vs vmapped 4.09M env-steps/s, 2026-08-20): XLA
+    # handles the batched layouts better than the flat reshape boundary.
+    # Kept behind RGT_FLAT_SCAN=1 as the recorded negative result.
+    if _os.environ.get("RGT_FLAT_SCAN", "0") == "1":
+        return scan_fast.trace_fast_mxu_batched
+    return scan_fast.trace_fast_mxu
+
 
 class EnvParams(NamedTuple):
     """Everything the step function reads but does not write."""
@@ -242,7 +256,8 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
 
     ttc_hit = None
     opp_fused = False
-    if cfg.scan_mode == "fast" and scan_fast.use_fused_ttc(cfg):
+    if cfg.scan_mode == "fast" and (scan_fast.use_fused_ttc(cfg)
+                                    or scan_fast.use_megakernel(cfg)):
         # noise add + wall-iTTC fused into the scan epilogue kernel
         # (SimConfig.fuse_scan_ttc); same RNG stream, same semantics as the
         # unfused path below — iTTC sees the noisy pre-opponent scan.
@@ -252,18 +267,19 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         noise = (_noise_row(dt) if cfg.scan_noise_std > 0
                  else jnp.zeros((cfg.num_beams,), dt))
         fused = (noise, xt[3])
-        if scan_fast.use_fused_opp(cfg):
+        if not scan_fast.use_megakernel(cfg) and scan_fast.use_fused_opp(cfg):
             opp = agent_scan.opponent_slab_scalars(poses, verts,
                                                    params.tables)
             fused = (noise, xt[3], opp)
             opp_fused = True
-        scans, hit01 = scan_fast.trace_fast_mxu(
+        scans, hit01 = _fast_scan_entry()(
             poses, params.tables, params.tmap, params.rtex, cfg,
             midx=state.map_idx, fused_ttc=fused)
         ttc_hit = (hit01 > 0) & (xt[3] != 0.0)
     elif cfg.scan_mode == "fast":
-        scans = scan_fast.trace_fast_mxu(poses, params.tables, params.tmap,
-                                         params.rtex, cfg, midx=state.map_idx)
+        scans = _fast_scan_entry()(
+            poses, params.tables, params.tmap, params.rtex, cfg,
+            midx=state.map_idx)
     else:
         scans = scan_ops.trace(poses, params.tables, params.tmap, cfg,
                                midx=state.map_idx)

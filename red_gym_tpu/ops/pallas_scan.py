@@ -755,3 +755,224 @@ def theta_shuffle_blend_edge_ttc(spec_r, spec_e, spec_w, f_s, wsum, vel,
                           int(agents_per_env), jnp.dtype(ew_dtype).name)(
         spec_r, spec_e, spec_w, f_s, wsum, vel, gmat, c_frac, noise,
         cosines, side_dist)
+
+
+# ---------------------------------------------------------------------------
+# Megakernel: the ENTIRE post-gather fast-scan pipeline in one launch
+# ---------------------------------------------------------------------------
+#
+# The round-5 profiler shows the XLA chain BETWEEN the texture-row gather
+# and the fused epilogue kernel — grad fold, edge parallax, the packed-DFT
+# roll — costs ~1.7 ms/step at 16k envs while using <20% of any hardware
+# roofline: it is fragmented into ~10 small kernels plus layout copies.
+# This kernel consumes the RAW gathered rows (rows, C*T) and produces the
+# finished noisy scan + iTTC flags in one launch:
+#
+#   channels split (static 128-lane slices) -> f32 upcast -> gradient
+#   pose-fold -> exact corner-bearing parallax -> 3 packed-rfft matmuls ->
+#   integer DFT roll -> 7 tap matmuls -> edge-ramp render -> noise add ->
+#   iTTC partials.
+#
+# No in-kernel permutes: the roll-by-64 the packed twiddle needs is folded
+# into a SECOND constant matrix (fmat_sw = fmat with columns rotated 64,
+# so X @ fmat_sw == roll(X @ fmat, -64)), and the one-lane shift the
+# parallax needs is a constant (T, T) shift matrix — both tiny MXU work.
+# Beams are NOT tiled (whole 1080-beam row per grid step): VMEM holds the
+# full gmat (T, 3B, ~1.7 MB) resident, and the grid is 1-D over row tiles.
+
+def _atan2_poly(y, x):
+    """Branch-free atan2 for Mosaic, which has NO atan2 primitive (probed
+    live on round-5 hardware: "Unimplemented primitive in Pallas TPU
+    lowering ... atan2").  Octant reduction + an 11th-degree minimax atan
+    polynomial on [0, 1] (|err| ~ 1e-6 rad — the parallax consumer shifts
+    the rendered edge by err/dth < 1e-4 theta bins, far inside the 2^-6-bin
+    build precision of the edge channel)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(ax, ay)
+    z = num / jnp.maximum(den, 1e-30)
+    z2 = z * z
+    p = z * (0.99997726 + z2 * (-0.33262347 + z2 * (0.19354346
+             + z2 * (-0.11643287 + z2 * (0.05265332 + z2 * (-0.01172120))))))
+    half_pi = 0.5 * jnp.pi
+    a = jnp.where(ay > ax, half_pi - p, p)
+    a = jnp.where(x < 0.0, jnp.pi - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
+                 fmat_ref, fmatsw_ref, shift1_ref, g0_ref, g1_ref, g2_ref,
+                 cf_ref, noise_ref, cos_ref, side_ref, out_ref, hit_ref, *,
+                 max_range, ttc_thresh, agents_per_env, n_beams, t_bins,
+                 ew_dtype):
+    f32 = jnp.float32
+    T = t_bins
+    raw = raw_ref[:]                                        # (RT, 5T) bf16?
+    R = raw[:, 0:T].astype(f32)
+    e = raw[:, T:2 * T].astype(f32)
+    w = raw[:, 2 * T:3 * T].astype(f32)
+    gx = raw[:, 3 * T:4 * T].astype(f32)
+    gy = raw[:, 4 * T:5 * T].astype(f32)
+    dx = dx_ref[:]                                          # (RT, 1)
+    dy = dy_ref[:]
+
+    # gradient pose-fold (scan_fast.trace_fast_mxu "per-cell channel
+    # corrections"), identical op order
+    rr_c = jnp.clip(R + dx * gx + dy * gy, 0.0, max_range)
+
+    # exact corner-bearing parallax on the raw range row
+    two_pi = 2.0 * jnp.pi
+    dth = two_pi / T
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    theta_e = (lane.astype(f32) + e) * dth
+    r_next = jnp.dot(R, shift1_ref[:], preferred_element_type=f32)
+    r_fore = jnp.maximum(jnp.minimum(R, r_next), 0.05)
+    ex = r_fore * jnp.cos(theta_e) - dx
+    ey = r_fore * jnp.sin(theta_e) - dy
+    beta = _atan2_poly(ey, ex)
+    dbeta = beta - theta_e
+    dbeta = dbeta - jnp.round(dbeta / two_pi) * two_pi
+    e = e + (1.0 - w) * dbeta / dth
+
+    # packed-rfft + integer roll: spec_r = spec * P + spec_sw * QR with
+    # spec = X @ fmat, spec_sw = X @ fmat_sw (columns pre-rotated by T/2),
+    # and P/QR the per-row twiddle masks of the packed layout
+    # [Re 0..T/2 | Im 1..T/2-1]
+    ii = ii_ref[:].astype(jnp.int32)                        # (RT, 1)
+    half = T // 2
+    l_eff = jnp.where(lane <= half, lane, lane - half)      # (1, T)
+    m = (ii * l_eff) % T                                    # (RT, T)
+    phi = m.astype(f32) * (two_pi / T)
+    cphi = jnp.cos(phi)
+    sphi = jnp.sin(phi)
+    qmask = ((lane >= 1) & (lane <= half - 1)).astype(f32)  # Im source ok
+    rmask = (lane >= half + 1).astype(f32)                  # Im dest lanes
+    P = cphi
+    QR = -sphi * qmask + sphi * rmask
+
+    def rolled(x):
+        spec = jnp.dot(x, fmat_ref[:], preferred_element_type=f32)
+        spec_sw = jnp.dot(x, fmatsw_ref[:], preferred_element_type=f32)
+        return spec * P + spec_sw * QR
+
+    sr = rolled(rr_c)
+    se = rolled(e)
+    sw_ = rolled(w)
+
+    # validity: column 0 of the raw range row carries it (>=1mm build
+    # floor); in-bounds arrives precomputed (depends on hc/wc)
+    ok = jnp.minimum(R[:, 0:1] * 1e3, 1.0)                  # exact 0/1
+    wsum = inb_ref[:] * ok
+
+    out = _edge_render_tile(sr, se, sw_, g0_ref[:], g1_ref[:], g2_ref[:],
+                            fs_ref[:], wsum, cf_ref[:], max_range, ew_dtype)
+    out_ref[:], hit_ref[:] = _noise_ttc_tile(
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
+        agents_per_env, n_beams, ttc_thresh)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
+               t_bins: int, ew_dtype="bfloat16"):
+    a_n = agents_per_env
+    assert ROW_TILE % a_n == 0
+
+    @jax.custom_batching.custom_vmap
+    def mega(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
+             c_frac, noise, cosines, side_dist):
+        """Raw gathered texture rows -> finished noisy scan + iTTC flags.
+
+        raw (K, 5T) (bf16 or f32 storage), per-row scalars dx/dy/f_s/i_f
+        (float-encoded integer roll)/inb (in-bounds 0/1)/vel (K,), noise
+        (E, B) with K == E * agents_per_env.  Returns (scan (K, B),
+        hit (K,))."""
+        k_n = raw.shape[0]
+        T = t_bins
+        b_n = c_frac.shape[0]
+        dtype = jnp.float32
+        assert raw.shape[1] == 5 * T, raw.shape
+        assert k_n == noise.shape[0] * a_n
+
+        g0m = gmat[:, :b_n]
+        g1m = gmat[:, b_n:2 * b_n]
+        g2m = gmat[:, 2 * b_n:]
+        col2 = lambda v: v[:, None].astype(dtype)
+        beam2 = lambda v: v[None, :].astype(dtype)
+
+        grid = (pl.cdiv(k_n, ROW_TILE),)
+        interpret = jax.default_backend() != "tpu"
+
+        raw_spec = pl.BlockSpec((ROW_TILE, 5 * T), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tt_spec = pl.BlockSpec((T, T), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        tap_spec = pl.BlockSpec((T, b_n), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        beam_spec = pl.BlockSpec((1, b_n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        out, hit = pl.pallas_call(
+            functools.partial(_mega_kernel, max_range=max_range,
+                              ttc_thresh=ttc_thresh, agents_per_env=a_n,
+                              n_beams=b_n, t_bins=T, ew_dtype=ew_dtype),
+            out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
+                       jax.ShapeDtypeStruct((8, k_n), dtype)),
+            grid=grid,
+            in_specs=[raw_spec, scal_spec, scal_spec, scal_spec, scal_spec,
+                      scal_spec, scal_spec, tt_spec, tt_spec, tt_spec,
+                      tap_spec, tap_spec, tap_spec, beam_spec,
+                      pl.BlockSpec((ROW_TILE // a_n, b_n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      beam_spec, beam_spec],
+            out_specs=(pl.BlockSpec((ROW_TILE, b_n), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, ROW_TILE), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(raw, col2(dx), col2(dy), col2(f_s), col2(i_f), col2(inb),
+          col2(vel), fmat, fmat_sw, shift1, g0m, g1m, g2m, beam2(c_frac),
+          noise, beam2(cosines), beam2(side_dist))
+        return out, jnp.max(hit, axis=0)
+
+    @mega.def_vmap
+    def _vmap_rule(axis_size, in_batched, raw, dx, dy, f_s, i_f, inb, vel,
+                   fmat, fmat_sw, shift1, gmat, c_frac, noise, cosines,
+                   side_dist):
+        (rb, dxb, dyb, fb, ib, inbb, vb, fmb, fsb, shb, gb, cb, nb, cob,
+         sib) = in_batched
+        assert not (fmb or fsb or shb or gb or cb or cob or sib), \
+            "constants must not carry a batch axis"
+
+        def mat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        raw_b = mat(raw, rb)
+        e, k_n = raw_b.shape[:2]
+        flat = lambda x, b: mat(x, b).reshape((e * k_n,))
+        noise_b = mat(noise, nb)
+        noise_b = noise_b.reshape((-1, noise_b.shape[-1]))
+        out, hit = mega(
+            raw_b.reshape((e * k_n, raw_b.shape[-1])),
+            flat(dx, dxb), flat(dy, dyb), flat(f_s, fb), flat(i_f, ib),
+            flat(inb, inbb), flat(vel, vb), fmat, fmat_sw, shift1, gmat,
+            c_frac, noise_b, cosines, side_dist)
+        return (out.reshape(e, k_n, out.shape[-1]),
+                hit.reshape(e, k_n)), (True, True)
+
+    return mega
+
+
+def mega_edge_ttc(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1,
+                  gmat, c_frac, noise, cosines, side_dist,
+                  max_range: float, ttc_thresh: float, agents_per_env: int,
+                  t_bins: int, ew_dtype=jnp.bfloat16):
+    """One-launch fast-scan pipeline from raw gathered rows (see comment
+    above).  ``fmat_sw`` must be fmat with its columns rotated by T/2
+    (jnp.roll(fmat, -T//2, axis=1)) and ``shift1`` the one-lane circular
+    shift matrix (eye rolled by one)."""
+    return _make_mega(float(max_range), float(ttc_thresh),
+                      int(agents_per_env), int(t_bins),
+                      jnp.dtype(ew_dtype).name)(
+        raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
+        c_frac, noise, cosines, side_dist)

@@ -17,6 +17,7 @@ foreground/background ranges.  Use scan_mode="exact" for reference parity;
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -665,12 +666,27 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
                            tmap.orig_c[midx], tmap.orig_s[midx])
         cell, wc, hc = rtex.cell[midx], rtex.wc[midx], rtex.hc[midx]
         assert rtex.rt.ndim == 3, "midx requires a map-stacked RangeTexture"
-        row_base = midx * rtex.rt.shape[-2]
+        # midx may be a scalar (one map per call) or a per-ROW (N,) array
+        # (the flattened batched entry, trace_fast_mxu_batched)
+        row_base = jnp.asarray(midx) * rtex.rt.shape[-2]
+        if row_base.ndim:
+            row_base = row_base[..., None]
 
     x_t = pose[..., 0] - ox
     y_t = pose[..., 1] - oy
     gx = (x_t * oc + y_t * osn) / cell - 0.5
     gy = (-x_t * osn + y_t * oc) / cell - 0.5
+
+    # per-map scalars broadcast against the (..., K) cell axis; with a
+    # per-ROW (N,) midx (the flattened batched entry) they carry a row
+    # axis and need the trailing K axis made explicit
+    def _k(v):
+        v = jnp.asarray(v)
+        return v[..., None] if v.ndim else v
+
+    hc_k, wc_k, cell_k = _k(hc), _k(wc), _k(cell)
+    oc_k, osn_k, ox_k, oy_k = _k(oc), _k(osn), _k(ox), _k(oy)
+
     if cfg.rt_spatial == "nearest1":
         # single rounded cell: ONE texture-row gather instead of four —
         # the row gather is the hottest kernel of the whole env step
@@ -687,18 +703,18 @@ def _cells_and_theta(pose, tables, tmap, rtex: RangeTexture, cfg: SimConfig,
         cc = jnp.stack([c0, c0 + 1, c0, c0 + 1], axis=-1)
         wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                          fy * (1 - fx), fy * fx], axis=-1).astype(dtype)
-    in_bounds = (rr >= 0) & (rr < hc) & (cc >= 0) & (cc < wc)
-    rows = jnp.clip(rr, 0, hc - 1) * wc + jnp.clip(cc, 0, wc - 1)
+    in_bounds = (rr >= 0) & (rr < hc_k) & (cc >= 0) & (cc < wc_k)
+    rows = jnp.clip(rr, 0, hc_k - 1) * wc_k + jnp.clip(cc, 0, wc_k - 1)
     if midx is not None:
         rows = rows + row_base
 
     # pose offset from each gathered cell's center, in WORLD coordinates
     # (cheap inverse of the map rotation; weights zero out-of-bounds cells
     # so clipped indices never contribute)
-    cxr = (rr.astype(dtype) + 0.5) * cell    # rotated-frame y of center
-    cxc = (cc.astype(dtype) + 0.5) * cell    # rotated-frame x of center
-    cwx = cxc * oc - cxr * osn + ox
-    cwy = cxc * osn + cxr * oc + oy
+    cxr = (rr.astype(dtype) + 0.5) * cell_k  # rotated-frame y of center
+    cxc = (cc.astype(dtype) + 0.5) * cell_k  # rotated-frame x of center
+    cwx = cxc * oc_k - cxr * osn_k + ox_k
+    cwy = cxc * osn_k + cxr * oc_k + oy_k
     dx = pose[..., 0:1] - cwx                                   # (..., K)
     dy = pose[..., 1:2] - cwy
 
@@ -742,6 +758,32 @@ def use_fused_ttc(cfg: SimConfig) -> bool:
     return False
 
 
+def use_megakernel(cfg: SimConfig) -> bool:
+    """True iff the one-launch megakernel carries the whole post-gather
+    pipeline (pallas_scan.mega_edge_ttc; see SimConfig.scan_megakernel).
+    Only the default pipeline shape qualifies: fast / nearest1 / linear
+    theta with edge+grad channels, float32, Pallas available, and the env
+    calling with the fused (noise, vel) operands."""
+    if cfg.scan_megakernel == "off":
+        return False
+    ok = (cfg.scan_mode == "fast" and cfg.rt_spatial == "nearest1"
+          and cfg.scan_interp == "linear" and cfg.rt_eff_occlusion == "edge"
+          and cfg.rt_grad and cfg.dtype == "float32" and _use_pallas(cfg))
+    if cfg.scan_megakernel == "on":
+        if not ok:
+            raise ValueError(
+                "scan_megakernel='on' needs scan_mode='fast', "
+                "rt_spatial='nearest1', scan_interp='linear', "
+                "rt_occlusion='edge', rt_grad=True, dtype='float32' and a "
+                "Pallas backend")
+        return True
+    if not ok:
+        return False
+    from red_gym_tpu.utils import capability
+
+    return capability.mega_enabled()
+
+
 def use_fused_opp(cfg: SimConfig) -> bool:
     """True iff the opponent ray cast ALSO rides the fused scan epilogue
     (pallas_scan.theta_shuffle_blend_edge_ttc_opp): env.sim_step then
@@ -765,6 +807,17 @@ def use_fused_opp(cfg: SimConfig) -> bool:
     from red_gym_tpu.utils import capability
 
     return capability.fused_opp_enabled()
+
+
+def _fused_noise_rows(noise, rows_n: int):
+    """Normalize the fused-kernel noise operand: a (B,) vector means ONE
+    env per call (all rows_n rows are its agents); an (E, B) slab means the
+    caller pre-flattened envs x agents (trace_fast_mxu_batched) and each
+    env covers rows_n // E consecutive rows.  Returns (noise2d,
+    agents_per_env)."""
+    if noise.ndim == 2:
+        return noise, rows_n // noise.shape[0]
+    return noise.reshape((1, -1)), rows_n
 
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
@@ -827,6 +880,41 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         f"config expects {n_chan} — rebuild the range texture with this "
         f"config (see SimConfig.rt_channels)")
     rows_v = jnp.take(rt2d, rows, axis=0)                       # (...,K,C*T)
+
+    if (fused_ttc is not None and len(fused_ttc) == 2
+            and use_megakernel(cfg)):
+        # one-launch megakernel: everything below (channel corrections,
+        # parallax, DFT roll, taps, render, noise, iTTC) runs inside
+        # pallas_scan.mega_edge_ttc on the RAW gathered rows — the XLA
+        # chain it replaces measured 1.7 ms/step at 16k envs at <20%
+        # utilization (docs/performance.md round-5 roofline)
+        noise, vel = fused_ttc
+        batch = pose.shape[:-1]
+        rows_n = 1
+        for d in batch:
+            rows_n *= int(d)
+        noise2, a_n = _fused_noise_rows(noise, rows_n)
+        raw = rows_v[..., 0, :]                         # (..., 5T), K = 1
+        # constant companions of fmat: the packed-twiddle half-rotation
+        # folded into a second matrix, and the one-lane shift the parallax
+        # needs (both hoisted out of the step loop by XLA's LICM)
+        fmat_sw = jnp.roll(rtex.fmat, -(t_bins // 2), axis=1)
+        shift1 = jnp.roll(jnp.eye(t_bins, dtype=dtype), -1, axis=1)
+        c_frac_m = jnp.mod(tables.scan_angles * (t_bins / two_pi),
+                           1.0).astype(dtype)
+        from red_gym_tpu.ops import pallas_scan
+
+        out, hit = pallas_scan.mega_edge_ttc(
+            raw.reshape((-1, n_chan * t_bins)),
+            dx[..., 0].reshape((-1,)), dy[..., 0].reshape((-1,)),
+            f_s.reshape((-1,)), i_i.astype(dtype).reshape((-1,)),
+            wgt[..., 0].reshape((-1,)), vel.reshape((-1,)),
+            rtex.fmat, fmat_sw, shift1, rtex.gmat, c_frac_m, noise2,
+            tables.beam_cosines, tables.side_distances, cfg.max_range,
+            cfg.ttc_thresh, a_n, t_bins,
+            ew_dtype=_resolve_ew_dtype(cfg, dtype))
+        return out.reshape(batch + (b_n,)), hit.reshape(batch)
+
     rr = rows_v[..., :t_bins]
     # cell validity from the rows themselves: invalid (occupied-center)
     # cells were zeroed at build time and valid rows are >= 1mm EVERYWHERE
@@ -936,13 +1024,14 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
 
             noise, vel = fused_ttc
             batch = spec_r.shape[:-1]
-            a_n = 1
+            rows_n = 1
             for d in batch:
-                a_n *= int(d)
+                rows_n *= int(d)
+            noise2, a_n = _fused_noise_rows(noise, rows_n)
             out, hit = pallas_scan.theta_spectral_ttc(
                 spec_r.reshape((-1, t_bins)),
                 wsum[..., 0].reshape((-1,)), vel.reshape((-1,)),
-                rtex.smat, noise.reshape((1, -1)), tables.beam_cosines,
+                rtex.smat, noise2, tables.beam_cosines,
                 tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n)
             return out.reshape(batch + (b_n,)), hit.reshape(batch)
         out = jnp.matmul(spec_r, rtex.smat,
@@ -982,9 +1071,10 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
             noise, vel = fused_ttc[0], fused_ttc[1]
             opp = fused_ttc[2] if len(fused_ttc) > 2 else None
             batch = spec_r.shape[:-2]
-            a_n = 1
+            rows_n = 1
             for d in batch:
-                a_n *= int(d)
+                rows_n *= int(d)
+            noise2, a_n = _fused_noise_rows(noise, rows_n)
             if opp is not None:
                 out, hit = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
                     spec_r[..., 0, :].reshape((-1, t_bins)),
@@ -992,7 +1082,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                     spec_r[..., 2, :].reshape((-1, t_bins)),
                     f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
                     vel.reshape((-1,)), rtex.gmat, c_frac,
-                    noise.reshape((1, -1)), tables.beam_cosines,
+                    noise2, tables.beam_cosines,
                     tables.beam_sines, tables.side_distances,
                     opp.reshape((-1, opp.shape[-1])), cfg.max_range,
                     cfg.ttc_thresh, a_n,
@@ -1004,7 +1094,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                 spec_r[..., 2, :].reshape((-1, t_bins)),
                 f_s.reshape((-1,)), wsum[..., 0].reshape((-1,)),
                 vel.reshape((-1,)), rtex.gmat, c_frac,
-                noise.reshape((1, -1)), tables.beam_cosines,
+                noise2, tables.beam_cosines,
                 tables.side_distances, cfg.max_range, cfg.ttc_thresh, a_n,
                 ew_dtype=_resolve_ew_dtype(cfg, dtype))
             return out.reshape(batch + (b_n,)), hit.reshape(batch)
@@ -1197,3 +1287,75 @@ def trace_fast(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
     # outside the texture / inside walls: fall back to 0 (collided anyway)
     out = jnp.where(wsum[..., 0:1] > 0, out, 0.0)
     return jnp.clip(out, 0.0, cfg.max_range)
+
+
+# ---------------------------------------------------------------------------
+# vmap-aware batched entry: flatten env x agent BEFORE the pipeline
+# ---------------------------------------------------------------------------
+#
+# Under a plain jax.vmap(sim_step), every tensor in the fast-scan chain
+# carries an inserted env axis in whatever position vmap's batching rules
+# produce — the round-5 profiler trace shows the consequences: (E, A, 1, T)
+# intermediates with permuted layouts like {3,0,2,1}, ~0.4 ms/step of pure
+# layout copies, and fusions fragmented around them.  This custom_vmap rule
+# instead collapses (env, agent) into ONE leading row axis and runs the
+# UNBATCHED pipeline on (E*A, ...) arrays — the shapes the whole design was
+# derived for — then reshapes the results back.  Nested vmaps compose: each
+# level re-enters the rule and folds its axis into the same flat row dim.
+
+@functools.lru_cache(maxsize=None)
+def _make_traced_v(cfg: SimConfig):
+    @jax.custom_batching.custom_vmap
+    def traced(pose, midx, fused, tables, tmap, rtex):
+        return trace_fast_mxu(pose, tables, tmap, rtex, cfg,
+                              midx=midx, fused_ttc=fused)
+
+    @traced.def_vmap
+    def _rule(axis_size, in_batched, pose, midx, fused, tables, tmap, rtex):
+        pb, mb, fb, tb, tmb, rb = in_batched
+        assert not any(jax.tree.leaves((tb, tmb, rb))), \
+            "tables/map/texture must not carry a batch axis"
+        assert pb, "pose must carry the mapped axis"
+        e = axis_size
+
+        def mat(x, batched):
+            return x if batched else jnp.broadcast_to(x, (e,) + jnp.shape(x))
+
+        flat = pose.reshape((-1, pose.shape[-1]))          # (E*A', 3)
+        rows = flat.shape[0]
+
+        midx_f = None
+        if midx is not None:
+            m = mat(midx, mb).reshape((-1,))               # (E',)
+            midx_f = jnp.repeat(m, rows // m.shape[0])     # (E*A',) row-major
+
+        fused_f = None
+        if fused is not None:
+            noise = mat(fused[0], fb[0])
+            vel = mat(fused[1], fb[1])
+            noise_f = noise.reshape((-1, noise.shape[-1]))  # (E', B)
+            fused_f = (noise_f, vel.reshape((-1,)))
+            if len(fused) > 2:
+                opp = mat(fused[2], fb[2])
+                fused_f = fused_f + (opp.reshape((-1, opp.shape[-1])),)
+
+        out = traced(flat, midx_f, fused_f, tables, tmap, rtex)
+        b_n = cfg.num_beams
+        if fused is not None:
+            scan, hit = out
+            return ((scan.reshape((e, -1, b_n)), hit.reshape((e, -1))),
+                    (True, True))
+        return out.reshape((e, -1, b_n)), True
+
+    return traced
+
+
+def trace_fast_mxu_batched(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
+                           rtex: RangeTexture, cfg: SimConfig, midx=None,
+                           fused_ttc=None):
+    """trace_fast_mxu with a custom vmap rule that flattens (env, agent)
+    into one row axis before the pipeline (see comment above).  Call
+    signature and unbatched behavior are identical to trace_fast_mxu; use
+    this entry wherever the call sits under jax.vmap (env.sim_step does).
+    """
+    return _make_traced_v(cfg)(pose, midx, fused_ttc, tables, tmap, rtex)

@@ -95,6 +95,21 @@ def fused_ttc_enabled() -> bool:
     return bool(rec.get("edge_ttc_ok")) and bool(rec.get("fused_faster"))
 
 
+def mega_enabled() -> bool:
+    """Resolution of scan_megakernel="auto": probe verdict (mega_ok, from
+    tools/probe_pallas.py pallas-mega) AND end-to-end A/B (mega_faster,
+    from tools/ablate_default.py --record).  RGT_MEGA=on|off overrides."""
+    ov = os.environ.get("RGT_MEGA", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    if not edge_pallas_enabled():
+        return False
+    rec = read_record()
+    return bool(rec.get("mega_ok")) and bool(rec.get("mega_faster"))
+
+
 def fused_opp_enabled() -> bool:
     """Resolution of fuse_scan_opp="auto": the opp-fused kernel is a
     DISTINCT Mosaic program from edge_ttc, so it needs its own probe

@@ -842,3 +842,51 @@ def test_fused_opp_epilogue_matches_unfused(setup_edge):
     # contract guard: the opponent cast actually shortened some beams
     assert (np.asarray(scans_u) < np.asarray(scans_n) - 1e-6).any(), \
         "degenerate fixture: no beam blocked by an opponent"
+
+
+def test_megakernel_matches_unfused():
+    """The one-launch megakernel (scan_megakernel: raw gathered rows ->
+    corrections + parallax + DFT roll + taps + render + noise + iTTC in one
+    Pallas program) matches the XLA pipeline + fused epilogue.  The kernel
+    computes the same formulas with different float association (pre-rolled
+    constant matrices instead of packed-lane slicing, in-kernel trig), so
+    scans are compared at fp tolerance with a small edge-flip budget, and
+    hits exactly.  Runs in FLOAT32 (the megakernel's only dtype — it is the
+    library-default throughput path) on a fresh stride-8 texture."""
+    import dataclasses
+
+    from red_gym_tpu.ops import agent_scan
+
+    cfg_x = dataclasses.replace(CFG_EDGE, dtype="float32",
+                                scan_backend="xla", ttc_thresh=2.0)
+    tmap = load_map(MAP_YAML, ".png", dtype=jnp.float32)
+    tables = scan_ops.build_tables(cfg_x, 0.31, 0.58, dtype=jnp.float32)
+    rtex = scan_fast.build_range_texture(tmap, cfg_x)
+    cfg_m = dataclasses.replace(cfg_x, scan_backend="pallas",
+                                scan_megakernel="on")
+    e_n, a_n = 4, 2
+    pv = _free_poses(tmap, e_n * a_n, seed=41).reshape(e_n, a_n, 3)
+    rng = np.random.default_rng(9)
+    noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg_m.num_beams)),
+                        jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2.0, 6.0, (e_n, a_n)), jnp.float32)
+
+    mega = jax.jit(jax.vmap(
+        lambda po, no, ve: scan_fast.trace_fast_mxu(
+            po, tables, tmap, rtex, cfg_m, fused_ttc=(no, ve))))
+    scans_m, hit01 = mega(pv, noise, vel)
+    hit_m = np.asarray((hit01 > 0) & (vel != 0.0))
+
+    plain = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_x)))
+    scans_u = plain(pv) + noise[:, None, :]
+    hit_u = np.asarray(agent_scan.check_ttc(scans_u, vel, tables,
+                                            cfg_x.ttc_thresh))
+
+    err = np.abs(np.asarray(scans_m) - np.asarray(scans_u))
+    cell = float(rtex.cell)
+    # bulk must agree to float-reassociation tolerance; a beam whose frac
+    # sits within trig-rounding of a hard edge may land on the other side
+    assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
+    assert np.mean(err > 4 * cell) < 2e-3, np.mean(err > 4 * cell)
+    np.testing.assert_array_equal(hit_m, hit_u)

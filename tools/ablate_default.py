@@ -31,6 +31,8 @@ VARIANTS = {
                                 noise_mode="pool"),
     "edge/fused-opp": dict(fuse_scan_ttc="on", scan_backend="pallas",
                            fuse_scan_opp="on"),
+    "edge/mega": dict(scan_megakernel="on", scan_backend="pallas",
+                      fuse_scan_ttc="on"),
     "edge/fused-opp+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
                                 fuse_scan_opp="on", noise_mode="pool"),
     "edge/nonoise": dict(scan_noise_std=0.0),
@@ -48,6 +50,7 @@ def main():
     names = args or list(VARIANTS)
     rates = {}
     for name in names:
+        print(json.dumps({"measuring": name}), flush=True)
         cfg = dataclasses.replace(bench.make_cfg("default"), **VARIANTS[name])
         rates[name] = rate = bench.measure(cfg)
         print(json.dumps({"variant": name, "env_steps_s": round(rate, 1)}),
@@ -68,6 +71,9 @@ def main():
         if "edge/fused-ttc" in rates and "edge/pallas" in rates:
             upd["fused_faster"] = rates["edge/fused-ttc"] > rates["edge/pallas"]
             upd["rate_edge_fused"] = round(rates["edge/fused-ttc"], 1)
+        if "edge/mega" in rates and "edge/fused-ttc" in rates:
+            upd["mega_faster"] = rates["edge/mega"] > rates["edge/fused-ttc"]
+            upd["rate_edge_mega"] = round(rates["edge/mega"], 1)
         if "edge/fused-opp" in rates and "edge/fused-ttc" in rates:
             upd["opp_faster"] = (rates["edge/fused-opp"]
                                  > rates["edge/fused-ttc"])

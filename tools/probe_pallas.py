@@ -149,6 +149,38 @@ out, hit = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
 print("PASS pallas-edge-ttc-opp", float(jnp.sum(out)), float(jnp.sum(hit)),
       flush=True)
 """,
+    "pallas-mega": """
+from red_gym_tpu.utils import platform as _p; _p.apply()
+import numpy as np
+import jax, jax.numpy as jnp
+from red_gym_tpu.ops import pallas_scan
+rng = np.random.default_rng(0)
+K, T, B, A = 512, 128, 1080, 2
+raw = np.zeros((K, 5 * T), np.float32)
+raw[:, 0:T] = rng.uniform(0.01, 28.0, (K, T))        # ranges
+raw[:, T:2*T] = rng.uniform(0, 1, (K, T))            # e
+raw[:, 2*T:3*T] = rng.uniform(0, 1, (K, T))          # w
+raw[:, 3*T:5*T] = rng.normal(0, 1, (K, 2 * T))       # gx gy
+fmat = rng.normal(size=(T, T)).astype(np.float32)
+out, hit = pallas_scan.mega_edge_ttc(
+    jnp.asarray(raw),
+    jnp.asarray(rng.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(rng.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(rng.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(rng.integers(0, T, K), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(rng.uniform(-3, 6, K), jnp.float32),
+    jnp.asarray(fmat), jnp.asarray(np.roll(fmat, -T // 2, axis=1)),
+    jnp.asarray(np.roll(np.eye(T, dtype=np.float32), -1, axis=1)),
+    jnp.asarray(rng.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * rng.normal(size=(K // A, B)), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(rng.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, A, T)
+print("PASS pallas-mega", float(jnp.sum(out)), float(jnp.sum(hit)),
+      flush=True)
+""",
     # ---- spec-ttc WEDGE BISECTION (VERDICT r4 item 2) ----------------
     # Four stages that approach the known relay-wedger from safe sides,
     # each in its own killable subprocess.  Which one first hangs/fails
@@ -319,6 +351,7 @@ def main():
     timeouts = {"xla": 300, "pallas-tiny": 300, "pallas-edge": 420,
                 "pallas-edge-ttc": 420, "pallas-spec-ttc": 420,
                 "env-step-default": 600, "pallas-edge-ttc-opp": 420,
+                "pallas-mega": 420,
                 "spec-compile-only": 420, "spec-plain": 420,
                 "spec-tail-only": 420, "spec-ttc-1tile": 420}
     names = sys.argv[1:] or list(STAGES)
@@ -332,6 +365,7 @@ def main():
     # the parent never touches the possibly-wedged device itself)
     record_keys = {"pallas-edge": "edge_ok", "pallas-edge-ttc": "edge_ttc_ok",
                    "pallas-edge-ttc-opp": "edge_ttc_opp_ok",
+                   "pallas-mega": "mega_ok",
                    "pallas-spec-ttc": "spec_ttc_ok"}
     backend = None
 
