@@ -307,6 +307,31 @@ out4, hit4 = pallas_scan.theta_shuffle_blend_edge_ttc_opp(
     jnp.asarray(opp), 30.0, 0.005, 2)
 print("PALLAS_OK", float(jnp.sum(out4) + jnp.sum(hit4)), flush=True)
 """,
+    "mega": """
+import numpy as np
+raw = np.zeros((K, 5 * T), np.float32)
+raw[:, 0:T] = r.uniform(0.01, 28.0, (K, T))
+raw[:, T:2*T] = r.uniform(0, 1, (K, T)); raw[:, 2*T:3*T] = r.uniform(0, 1, (K, T))
+raw[:, 3*T:5*T] = r.normal(0, 1, (K, 2 * T))
+fmat = r.normal(size=(T, T)).astype(np.float32)
+out5, hit5 = pallas_scan.mega_edge_ttc(
+    jnp.asarray(raw),
+    jnp.asarray(r.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(r.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(r.integers(0, T, K), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(r.uniform(-3, 6, K), jnp.float32),
+    jnp.asarray(fmat), jnp.asarray(np.roll(fmat, -T // 2, axis=1)),
+    jnp.asarray(np.roll(np.eye(T, dtype=np.float32), -1, axis=1)),
+    jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(0.01 * r.normal(size=(K // 2, B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, 2, T)
+print("PALLAS_OK", float(jnp.sum(out5) + jnp.sum(hit5)), flush=True)
+""",
     "spec_ttc": """
 out3, hit3 = pallas_scan.theta_spectral_ttc(
     jnp.asarray(r.normal(size=(K, T)), jnp.float32),
@@ -421,6 +446,9 @@ def main():
     opp_ok = (fused_ok and N_AGENTS >= 2
               and _pallas_preflight("edge_ttc_opp", min(preflight_t * 2,
                                                         _remaining())))
+    mega_ok = (fused_ok
+               and _pallas_preflight("mega", min(preflight_t * 2,
+                                                 _remaining())))
 
     # Measure the default mode FIRST (the number the round owes), emit it,
     # then the other modes, then re-emit the default line LAST so it is the
@@ -445,11 +473,15 @@ def main():
         if mode in edge_modes and edge_ok:
             extra["BENCH_FORCE_BACKEND"] = "pallas"
             extra["RGT_FUSE_TTC"] = "on" if fused_ok else "off"
-            extra["RGT_FUSE_OPP"] = "on" if opp_ok else "off"
+            # the opp stage is capability-guarded to OFF everywhere: both
+            # opp-fused kernels measured SLOWER than their unfused
+            # baselines (docs/performance.md round-5) — never pin it on
+            extra["RGT_FUSE_OPP"] = "off"
+            extra["RGT_MEGA_OPP"] = "off"
+            extra["RGT_MEGA"] = "on" if mega_ok else "off"
             label += " [pallas"
-            label += "+ttc" if fused_ok else ""
-            label += "+opp" if opp_ok else ""
-            label += " fused]" if fused_ok else " epilogue]"
+            label += "+mega" if mega_ok else ("+ttc" if fused_ok else "")
+            label += " fused]" if (fused_ok or mega_ok) else " epilogue]"
         elif mode in edge_modes and on_tpu and any_edge:
             # probe failed: pin XLA so a stale capability record can't
             # steer "auto" into the very dispatch the probe just rejected
@@ -462,6 +494,9 @@ def main():
             label += " [UNFUSED xla fallback: opp kernel probe failed]"
         elif mode in fused_modes and on_tpu:
             extra["RGT_FUSE_OPP"] = "on" if opp_ok else "off"
+            # these modes claim the edge_ttc kernels specifically; a mega
+            # capability record must not silently upgrade them
+            extra["RGT_MEGA"] = "off"
         elif mode == "ultrafused" and on_tpu:
             if default_line is not None and len(modes) > 1:
                 print(json.dumps(default_line), flush=True)  # bank it first

@@ -121,12 +121,19 @@ def _make_noise_pool(cfg: SimConfig):
     """Pregenerated N(0, sigma) beam rows for cfg.noise_mode='pool'.
 
     Content is keyed by a fixed seed: determinism of a run stays governed
-    by the per-env state rng, which selects rows."""
+    by the per-env state rng, which selects rows.  STORAGE is bfloat16 in
+    float32 runs: the per-step (E, B) noise slab is pure HBM round trip
+    (84% of bandwidth for its phase, tools/roofline.py) and a bf16 ulp on
+    a sigma = 1 cm perturbation is ~0.02 mm — far below the sensor noise
+    it implements; compute upcasts on read."""
     if cfg.noise_mode != "pool" or cfg.scan_noise_std <= 0:
         return None
     key = jax.random.PRNGKey(0x5EED)
-    return cfg.scan_noise_std * jax.random.normal(
+    pool = cfg.scan_noise_std * jax.random.normal(
         key, (cfg.noise_pool_rows, cfg.num_beams), cfg.jdtype)
+    if cfg.jdtype == jnp.float32:
+        pool = pool.astype(jnp.bfloat16)
+    return pool
 
 
 def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
@@ -241,14 +248,19 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     # (base_classes.py:117,202).
     rng, sub = jax.random.split(state.rng)
 
-    def _noise_row(dtype):
+    def _noise_row(dtype=None):
         if cfg.noise_mode == "pool" and params.noise_pool is not None:
             # one row pick per env per step: contiguous fetch, no fresh
-            # transcendentals (see SimConfig.noise_mode)
+            # transcendentals (see SimConfig.noise_mode).  dtype=None keeps
+            # the pool's bfloat16 STORAGE dtype — the fused kernels read
+            # the slab directly and upcast in VMEM, halving the per-step
+            # (E, B) HBM round trip
             r = jax.random.randint(sub, (), 0, cfg.noise_pool_rows)
-            return jnp.take(params.noise_pool, r, axis=0).astype(dtype)
+            row = jnp.take(params.noise_pool, r, axis=0)
+            return row if dtype is None else row.astype(dtype)
         return cfg.scan_noise_std * jax.random.normal(
-            sub, (cfg.num_beams,), dtype=dtype)
+            sub, (cfg.num_beams,),
+            dtype=cfg.jdtype if dtype is None else dtype)
 
     # body vertices serve the opponent ray cast (fused or XLA) below; the
     # body-collision SAT runs straight from poses
@@ -264,10 +276,13 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         # With fuse_scan_opp resolving on, the opponent ray cast rides the
         # same kernel (the scan tensor then hits HBM exactly once).
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
-        noise = (_noise_row(dt) if cfg.scan_noise_std > 0
+        noise = (_noise_row() if cfg.scan_noise_std > 0
                  else jnp.zeros((cfg.num_beams,), dt))
         fused = (noise, xt[3])
-        if not scan_fast.use_megakernel(cfg) and scan_fast.use_fused_opp(cfg):
+        opp_on = (scan_fast.use_fused_opp_mega(cfg)
+                  if scan_fast.use_megakernel(cfg)
+                  else scan_fast.use_fused_opp(cfg))
+        if opp_on:
             opp = agent_scan.opponent_slab_scalars(poses, verts,
                                                    params.tables)
             fused = (noise, xt[3], opp)

@@ -187,7 +187,12 @@ def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
     its tap garbage must not raise phantom hits).  Returns
     (noisy_out (RT, BT), partial (1, RT))."""
     rt, bt = out.shape
-    n = jnp.broadcast_to(noise[:, None, :],
+    # upcast BEFORE the rank-3 broadcast/reshape: the noise slab may arrive
+    # in its bfloat16 storage dtype and Mosaic's layout inference rejects
+    # the 3-D shape cast on bf16 vectors ("unsupported shape cast", live
+    # round-5 finding)
+    n = noise.astype(out.dtype)
+    n = jnp.broadcast_to(n[:, None, :],
                          (rt // agents_per_env, agents_per_env, bt)
                          ).reshape(rt, bt)
     out = out + n
@@ -322,7 +327,7 @@ def theta_shuffle_blend_edge(spec_r, spec_e, spec_w, f_s, wsum, gmat, c_frac,
 # env slab and expands it across the A agent rows in VMEM (requires
 # A | ROW_TILE; callers fall back to the unfused path otherwise).
 
-def _opp_raycast_tile(out, opp, cos, sin, n_opp):
+def _opp_raycast_tile(out, opp, cos, sin, n_opp, beam_start=0):
     """Fused opponent ray casting on the rendered tile (the last consumer
     of the scan in env.sim_step — ops/agent_scan.py::ray_cast_all_opponents
     semantics).  ``opp`` is the (RT, 10 * n_opp) per-row slab-scalar pack
@@ -335,8 +340,7 @@ def _opp_raycast_tile(out, opp, cos, sin, n_opp):
     scan tensor (~0.38 ms/step measured at 16k 2-agent envs); here the
     tile is still in registers."""
     rt, bt = out.shape
-    j = pl.program_id(0)
-    beam_pos = (j * bt
+    beam_pos = (beam_start
                 + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
                 ).astype(out.dtype)                       # (1, BT)
     inf = jnp.asarray(jnp.inf, out.dtype)
@@ -404,8 +408,9 @@ def _edge_ttc_opp_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
     out, hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh)
-    out_ref[:] = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
-                                   n_opp)
+    out_ref[:] = _opp_raycast_tile(
+        out, opp_ref[:], cos_ref[:], sin_ref[:], n_opp,
+        beam_start=pl.program_id(0) * out.shape[1])
 
 
 @functools.lru_cache(maxsize=None)
@@ -802,9 +807,13 @@ def _atan2_poly(y, x):
 
 def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
                  fmat_ref, fmatsw_ref, shift1_ref, g0_ref, g1_ref, g2_ref,
-                 cf_ref, noise_ref, cos_ref, side_ref, out_ref, hit_ref, *,
+                 cf_ref, noise_ref, cos_ref, side_ref, *refs,
                  max_range, ttc_thresh, agents_per_env, n_beams, t_bins,
-                 ew_dtype):
+                 n_opp, ew_dtype):
+    if n_opp:
+        sin_ref, opp_ref, out_ref, hit_ref = refs
+    else:
+        out_ref, hit_ref = refs
     f32 = jnp.float32
     T = t_bins
     raw = raw_ref[:]                                        # (RT, 5T) bf16?
@@ -866,20 +875,35 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
 
     out = _edge_render_tile(sr, se, sw_, g0_ref[:], g1_ref[:], g2_ref[:],
                             fs_ref[:], wsum, cf_ref[:], max_range, ew_dtype)
-    out_ref[:], hit_ref[:] = _noise_ttc_tile(
+    out, hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh)
+    if n_opp:
+        out = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
+                                n_opp)
+    out_ref[:] = out
+
+
+# The megakernel holds ~10 (rows, B) f32 intermediates live at once (taps,
+# ramp, opp slab tests); at ROW_TILE=256 the opp-fused variant measured
+# 18.8 MB of scoped VMEM against the chip's 16 MB limit (live round-5 OOM),
+# so mega uses its own half-size row tile.
+MEGA_ROW_TILE = 128
 
 
 @functools.lru_cache(maxsize=None)
 def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
-               t_bins: int, ew_dtype="bfloat16"):
+               t_bins: int, n_opp: int = 0, ew_dtype="bfloat16"):
     a_n = agents_per_env
+    # the half tile is only needed when the opp stage's extra live
+    # intermediates are present; the plain mega fits (and measured ~1.5%
+    # faster) at 256
+    ROW_TILE = MEGA_ROW_TILE if n_opp else 256
     assert ROW_TILE % a_n == 0
 
     @jax.custom_batching.custom_vmap
     def mega(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
-             c_frac, noise, cosines, side_dist):
+             c_frac, noise, cosines, side_dist, sines, opp):
         """Raw gathered texture rows -> finished noisy scan + iTTC flags.
 
         raw (K, 5T) (bf16 or f32 storage), per-row scalars dx/dy/f_s/i_f
@@ -912,36 +936,48 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
                                 memory_space=pltpu.VMEM)
         beam_spec = pl.BlockSpec((1, b_n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+        in_specs = [raw_spec, scal_spec, scal_spec, scal_spec, scal_spec,
+                    scal_spec, scal_spec, tt_spec, tt_spec, tt_spec,
+                    tap_spec, tap_spec, tap_spec, beam_spec,
+                    pl.BlockSpec((ROW_TILE // a_n, b_n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    beam_spec, beam_spec]
+        operands = [raw, col2(dx), col2(dy), col2(f_s), col2(i_f),
+                    col2(inb), col2(vel), fmat, fmat_sw, shift1, g0m, g1m,
+                    g2m, beam2(c_frac), noise, beam2(cosines),
+                    beam2(side_dist)]
+        if n_opp:
+            assert opp.shape == (k_n, 10 * n_opp)
+            in_specs += [beam_spec,
+                         pl.BlockSpec((ROW_TILE, 10 * n_opp),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)]
+            operands += [beam2(sines), opp]
         out, hit = pl.pallas_call(
             functools.partial(_mega_kernel, max_range=max_range,
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
-                              n_beams=b_n, t_bins=T, ew_dtype=ew_dtype),
+                              n_beams=b_n, t_bins=T, n_opp=n_opp,
+                              ew_dtype=ew_dtype),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
                        jax.ShapeDtypeStruct((8, k_n), dtype)),
             grid=grid,
-            in_specs=[raw_spec, scal_spec, scal_spec, scal_spec, scal_spec,
-                      scal_spec, scal_spec, tt_spec, tt_spec, tt_spec,
-                      tap_spec, tap_spec, tap_spec, beam_spec,
-                      pl.BlockSpec((ROW_TILE // a_n, b_n), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      beam_spec, beam_spec],
+            in_specs=in_specs,
             out_specs=(pl.BlockSpec((ROW_TILE, b_n), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((8, ROW_TILE), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)),
             interpret=interpret,
-        )(raw, col2(dx), col2(dy), col2(f_s), col2(i_f), col2(inb),
-          col2(vel), fmat, fmat_sw, shift1, g0m, g1m, g2m, beam2(c_frac),
-          noise, beam2(cosines), beam2(side_dist))
+        )(*operands)
         return out, jnp.max(hit, axis=0)
 
     @mega.def_vmap
     def _vmap_rule(axis_size, in_batched, raw, dx, dy, f_s, i_f, inb, vel,
                    fmat, fmat_sw, shift1, gmat, c_frac, noise, cosines,
-                   side_dist):
+                   side_dist, sines, opp):
         (rb, dxb, dyb, fb, ib, inbb, vb, fmb, fsb, shb, gb, cb, nb, cob,
-         sib) = in_batched
-        assert not (fmb or fsb or shb or gb or cb or cob or sib), \
+         sib, snb, ob) = in_batched
+        assert not any(jax.tree.leaves((fmb, fsb, shb, gb, cb, cob, sib,
+                                        snb))), \
             "constants must not carry a batch axis"
 
         def mat(x, batched):
@@ -952,11 +988,15 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
         flat = lambda x, b: mat(x, b).reshape((e * k_n,))
         noise_b = mat(noise, nb)
         noise_b = noise_b.reshape((-1, noise_b.shape[-1]))
+        opp_b = None
+        if opp is not None:
+            opp_b = mat(opp, ob)
+            opp_b = opp_b.reshape((e * k_n, opp_b.shape[-1]))
         out, hit = mega(
             raw_b.reshape((e * k_n, raw_b.shape[-1])),
             flat(dx, dxb), flat(dy, dyb), flat(f_s, fb), flat(i_f, ib),
             flat(inb, inbb), flat(vel, vb), fmat, fmat_sw, shift1, gmat,
-            c_frac, noise_b, cosines, side_dist)
+            c_frac, noise_b, cosines, side_dist, sines, opp_b)
         return (out.reshape(e, k_n, out.shape[-1]),
                 hit.reshape(e, k_n)), (True, True)
 
@@ -966,13 +1006,16 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
 def mega_edge_ttc(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1,
                   gmat, c_frac, noise, cosines, side_dist,
                   max_range: float, ttc_thresh: float, agents_per_env: int,
-                  t_bins: int, ew_dtype=jnp.bfloat16):
+                  t_bins: int, ew_dtype=jnp.bfloat16, sines=None, opp=None):
     """One-launch fast-scan pipeline from raw gathered rows (see comment
     above).  ``fmat_sw`` must be fmat with its columns rotated by T/2
     (jnp.roll(fmat, -T//2, axis=1)) and ``shift1`` the one-lane circular
-    shift matrix (eye rolled by one)."""
+    shift matrix (eye rolled by one).  With ``opp`` (K, 10 * n_opp) slab
+    scalars (+ the static beam ``sines``), the opponent ray cast runs
+    in-kernel too."""
+    n_opp = 0 if opp is None else opp.shape[-1] // 10
     return _make_mega(float(max_range), float(ttc_thresh),
-                      int(agents_per_env), int(t_bins),
+                      int(agents_per_env), int(t_bins), n_opp,
                       jnp.dtype(ew_dtype).name)(
         raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
-        c_frac, noise, cosines, side_dist)
+        c_frac, noise, cosines, side_dist, sines, opp)

@@ -784,6 +784,21 @@ def use_megakernel(cfg: SimConfig) -> bool:
     return capability.mega_enabled()
 
 
+def use_fused_opp_mega(cfg: SimConfig) -> bool:
+    """True iff the opponent ray cast rides the MEGAKERNEL (distinct
+    program + A/B from the edge_ttc_opp variant; fuse_scan_opp governs
+    both, resolved against the mega-specific capability keys here)."""
+    if cfg.fuse_scan_opp == "off" or cfg.num_agents < 2:
+        return False
+    if not use_megakernel(cfg):
+        return False
+    if cfg.fuse_scan_opp == "on":
+        return True
+    from red_gym_tpu.utils import capability
+
+    return capability.mega_opp_enabled()
+
+
 def use_fused_opp(cfg: SimConfig) -> bool:
     """True iff the opponent ray cast ALSO rides the fused scan epilogue
     (pallas_scan.theta_shuffle_blend_edge_ttc_opp): env.sim_step then
@@ -881,14 +896,14 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         f"config (see SimConfig.rt_channels)")
     rows_v = jnp.take(rt2d, rows, axis=0)                       # (...,K,C*T)
 
-    if (fused_ttc is not None and len(fused_ttc) == 2
-            and use_megakernel(cfg)):
+    if fused_ttc is not None and use_megakernel(cfg):
         # one-launch megakernel: everything below (channel corrections,
         # parallax, DFT roll, taps, render, noise, iTTC) runs inside
         # pallas_scan.mega_edge_ttc on the RAW gathered rows — the XLA
         # chain it replaces measured 1.7 ms/step at 16k envs at <20%
         # utilization (docs/performance.md round-5 roofline)
-        noise, vel = fused_ttc
+        noise, vel = fused_ttc[0], fused_ttc[1]
+        opp = fused_ttc[2] if len(fused_ttc) > 2 else None
         batch = pose.shape[:-1]
         rows_n = 1
         for d in batch:
@@ -912,7 +927,10 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
             rtex.fmat, fmat_sw, shift1, rtex.gmat, c_frac_m, noise2,
             tables.beam_cosines, tables.side_distances, cfg.max_range,
             cfg.ttc_thresh, a_n, t_bins,
-            ew_dtype=_resolve_ew_dtype(cfg, dtype))
+            ew_dtype=_resolve_ew_dtype(cfg, dtype),
+            sines=None if opp is None else tables.beam_sines,
+            opp=None if opp is None
+            else opp.reshape((-1, opp.shape[-1])))
         return out.reshape(batch + (b_n,)), hit.reshape(batch)
 
     rr = rows_v[..., :t_bins]

@@ -110,6 +110,19 @@ def mega_enabled() -> bool:
     return bool(rec.get("mega_ok")) and bool(rec.get("mega_faster"))
 
 
+def mega_opp_enabled() -> bool:
+    """Resolution of fuse_scan_opp="auto" when the MEGAKERNEL carries the
+    scan: needs the mega+opp program's own probe + A/B verdicts
+    (mega_opp_ok / mega_opp_faster; RGT_MEGA_OPP=on|off overrides)."""
+    ov = os.environ.get("RGT_MEGA_OPP", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    rec = read_record()
+    return bool(rec.get("mega_opp_ok")) and bool(rec.get("mega_opp_faster"))
+
+
 def fused_opp_enabled() -> bool:
     """Resolution of fuse_scan_opp="auto": the opp-fused kernel is a
     DISTINCT Mosaic program from edge_ttc, so it needs its own probe

@@ -390,9 +390,15 @@ def test_noise_pool_statistics_match_fresh():
     pool = envlib._make_noise_pool(cfg)
     sigma = cfg.scan_noise_std
 
-    # pool rows ARE exact threefry gaussians; their aggregate moments obey
-    # sqrt-N statistics (131072 samples: se(mean) = sigma/sqrt(N) ~ 2.8e-5)
-    flat = np.asarray(pool).ravel()
+    # storage is bfloat16 in f32 runs (HBM halving; a bf16 ulp on sigma =
+    # 1 cm is ~0.02 mm) — upcast before statistics, bf16 accumulation in
+    # numpy is garbage
+    assert pool.dtype == jnp.bfloat16
+    # pool rows ARE exact threefry gaussians (up to bf16 rounding); their
+    # aggregate moments obey sqrt-N statistics (131072 samples:
+    # se(mean) = sigma/sqrt(N) ~ 2.8e-5, bf16 rounding adds ~2% on std --
+    # inside the 3-sigma gates)
+    flat = np.asarray(pool).astype(np.float64).ravel()
     assert abs(flat.mean()) < 4 * sigma / np.sqrt(flat.size)
     assert abs(flat.std() - sigma) < 3 * sigma / np.sqrt(2 * flat.size - 2)
 

@@ -890,3 +890,58 @@ def test_megakernel_matches_unfused():
     assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
     assert np.mean(err > 4 * cell) < 2e-3, np.mean(err > 4 * cell)
     np.testing.assert_array_equal(hit_m, hit_u)
+
+
+def test_megakernel_opp_matches_unfused():
+    """Mega + in-kernel opponent ray cast (fuse_scan_opp with the
+    megakernel) vs the XLA pipeline + XLA opponent pass."""
+    import dataclasses
+
+    from red_gym_tpu.ops import agent_scan, collision as col
+
+    cfg_x = dataclasses.replace(CFG_EDGE, dtype="float32",
+                                scan_backend="xla", ttc_thresh=2.0,
+                                num_agents=2)
+    tmap = load_map(MAP_YAML, ".png", dtype=jnp.float32)
+    tables = scan_ops.build_tables(cfg_x, 0.31, 0.58, dtype=jnp.float32)
+    rtex = scan_fast.build_range_texture(tmap, cfg_x)
+    cfg_m = dataclasses.replace(cfg_x, scan_backend="pallas",
+                                scan_megakernel="on", fuse_scan_opp="on")
+    e_n, a_n = 4, 2
+    rng = np.random.default_rng(15)
+    base = _free_poses(tmap, e_n, seed=43)
+    opp_pose = np.stack([base[:, 0] + rng.uniform(-2.5, 2.5, e_n),
+                         base[:, 1] + rng.uniform(-2.5, 2.5, e_n),
+                         rng.uniform(0, 2 * np.pi, e_n)], axis=-1)
+    pv = jnp.asarray(np.stack([base, opp_pose], axis=1), jnp.float32)
+    noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg_m.num_beams)),
+                        jnp.float32)
+    vel = jnp.asarray(rng.uniform(-2.0, 6.0, (e_n, a_n)), jnp.float32)
+    length, width = 0.58, 0.31
+
+    def mega_one(po, no, ve):
+        verts = col.get_vertices(po, length, width)
+        opp = agent_scan.opponent_slab_scalars(po, verts, tables)
+        return scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_m,
+                                        fused_ttc=(no, ve, opp))
+
+    scans_m, hit01 = jax.jit(jax.vmap(mega_one))(pv, noise, vel)
+    hit_m = np.asarray((hit01 > 0) & (vel != 0.0))
+
+    plain = jax.jit(jax.vmap(
+        lambda po: scan_fast.trace_fast_mxu(po, tables, tmap, rtex, cfg_x)))
+    scans_n = plain(pv) + noise[:, None, :]
+    hit_u = np.asarray(agent_scan.check_ttc(scans_n, vel, tables,
+                                            cfg_x.ttc_thresh))
+
+    def opp_one(po, sc):
+        verts = col.get_vertices(po, length, width)
+        return agent_scan.ray_cast_all_opponents(po, sc, verts, tables)
+
+    scans_u = jax.jit(jax.vmap(opp_one))(pv, scans_n)
+    err = np.abs(np.asarray(scans_m) - np.asarray(scans_u))
+    cell = float(rtex.cell)
+    assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
+    assert np.mean(err > 4 * cell) < 2e-3, np.mean(err > 4 * cell)
+    np.testing.assert_array_equal(hit_m, hit_u)
+    assert (np.asarray(scans_u) < np.asarray(scans_n) - 1e-6).any()

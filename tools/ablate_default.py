@@ -33,6 +33,8 @@ VARIANTS = {
                            fuse_scan_opp="on"),
     "edge/mega": dict(scan_megakernel="on", scan_backend="pallas",
                       fuse_scan_ttc="on"),
+    "edge/mega-opp": dict(scan_megakernel="on", scan_backend="pallas",
+                          fuse_scan_ttc="on", fuse_scan_opp="on"),
     "edge/fused-opp+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
                                 fuse_scan_opp="on", noise_mode="pool"),
     "edge/nonoise": dict(scan_noise_std=0.0),
@@ -71,6 +73,11 @@ def main():
         if "edge/fused-ttc" in rates and "edge/pallas" in rates:
             upd["fused_faster"] = rates["edge/fused-ttc"] > rates["edge/pallas"]
             upd["rate_edge_fused"] = round(rates["edge/fused-ttc"], 1)
+        if "edge/mega-opp" in rates and "edge/mega" in rates:
+            upd["mega_opp_faster"] = (rates["edge/mega-opp"]
+                                      > rates["edge/mega"])
+            upd["mega_opp_ok"] = True   # it just executed end-to-end
+            upd["rate_edge_mega_opp"] = round(rates["edge/mega-opp"], 1)
         if "edge/mega" in rates and "edge/fused-ttc" in rates:
             upd["mega_faster"] = rates["edge/mega"] > rates["edge/fused-ttc"]
             upd["rate_edge_mega"] = round(rates["edge/mega"], 1)
