@@ -256,7 +256,9 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
             # the slab directly and upcast in VMEM, halving the per-step
             # (E, B) HBM round trip
             r = jax.random.randint(sub, (), 0, cfg.noise_pool_rows)
-            row = jnp.take(params.noise_pool, r, axis=0)
+            # randint(0, rows) is in-bounds by construction:
+            # promise_in_bounds drops the clamp/select pass
+            row = params.noise_pool.at[r].get(mode="promise_in_bounds")
             return row if dtype is None else row.astype(dtype)
         return cfg.scan_noise_std * jax.random.normal(
             sub, (cfg.num_beams,),

@@ -894,7 +894,10 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         f"texture carries {rt2d.shape[-1] // t_bins} channels but the "
         f"config expects {n_chan} — rebuild the range texture with this "
         f"config (see SimConfig.rt_channels)")
-    rows_v = jnp.take(rt2d, rows, axis=0)                       # (...,K,C*T)
+    # indices are pre-clipped in _cells_and_theta: promise_in_bounds
+    # drops XLA's clamp/select pass over the 41 MB gather output
+    rows_v = rt2d.at[rows].get(
+        mode="promise_in_bounds")                        # (...,K,C*T)
 
     if fused_ttc is not None and use_megakernel(cfg):
         # one-launch megakernel: everything below (channel corrections,
