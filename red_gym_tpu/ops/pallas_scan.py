@@ -179,13 +179,18 @@ def _edge_render_tile(sr, se_f32, sw_f32, g0m, g1m, g2m, fs, wsum, cf,
 
 
 def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
-                    ttc_thresh):
+                    ttc_thresh, beam_tile):
     """Shared fused-consumer tail: expand the per-env noise slab across
     agent rows in VMEM, add it, and compute the per-(beam-tile, row) iTTC
     partial on the noisy scan (agent_scan.check_ttc, division-free
     sign-split form), masked to real beams (the last beam tile is padded:
-    its tap garbage must not raise phantom hits).  Returns
-    (noisy_out (RT, BT), partial (1, RT))."""
+    its tap garbage must not raise phantom hits).  ``beam_tile`` is the
+    caller's beam-axis grid index — the edge_ttc kernels iterate beams on
+    grid dim 0, the megakernel carries the FULL beam width in one block and
+    must pass 0 (deriving it from pl.program_id(0) here silently masked
+    every beam for row tiles >= 1 under mega's row-only grid: all iTTC hits
+    beyond the first 128 envs were dropped — caught round 5).  Returns
+    (noisy_out (RT, BT), partial (8, RT))."""
     rt, bt = out.shape
     # upcast BEFORE the rank-3 broadcast/reshape: the noise slab may arrive
     # in its bfloat16 storage dtype and Mosaic's layout inference rejects
@@ -197,9 +202,8 @@ def _noise_ttc_tile(out, noise, vel, cos, side, agents_per_env, n_beams,
                          ).reshape(rt, bt)
     out = out + n
 
-    j = pl.program_id(0)
-    beam_ok = (j * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
-               ) < n_beams
+    beam_ok = (beam_tile * bt
+               + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)) < n_beams
     pv = vel * cos                                           # (RT,1)*(1,BT)
     num = out - side
     # NB: all-logical form, not jnp.where(pv > 0, <bool>, <bool>) — a select
@@ -392,7 +396,7 @@ def _edge_ttc_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
         g2_ref[:], fs_ref[:], wsum_ref[:], cf_ref[:], max_range, ew_dtype)
     out_ref[:], hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
-        agents_per_env, n_beams, ttc_thresh)
+        agents_per_env, n_beams, ttc_thresh, beam_tile=pl.program_id(0))
 
 
 def _edge_ttc_opp_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
@@ -407,7 +411,7 @@ def _edge_ttc_opp_kernel(specr_ref, spece_ref, specw_ref, fs_ref, wsum_ref,
     # scan, reference base_classes.py:227-252) -> opponent ray cast
     out, hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
-        agents_per_env, n_beams, ttc_thresh)
+        agents_per_env, n_beams, ttc_thresh, beam_tile=pl.program_id(0))
     out_ref[:] = _opp_raycast_tile(
         out, opp_ref[:], cos_ref[:], sin_ref[:], n_opp,
         beam_start=pl.program_id(0) * out.shape[1])
@@ -648,7 +652,7 @@ def _spec_ttc_kernel(spec_ref, wsum_ref, vel_ref, smat_ref, noise_ref,
     out = jnp.clip(out, 0.0, max_range)
     out_ref[:], hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
-        agents_per_env, n_beams, ttc_thresh)
+        agents_per_env, n_beams, ttc_thresh, beam_tile=pl.program_id(0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -875,9 +879,12 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
 
     out = _edge_render_tile(sr, se, sw_, g0_ref[:], g1_ref[:], g2_ref[:],
                             fs_ref[:], wsum, cf_ref[:], max_range, ew_dtype)
+    # the megakernel's grid is 1-D over ROW tiles and its block carries the
+    # full beam width, so its beam-tile index is always 0 (pl.program_id(0)
+    # here is the ROW tile — using it masked every beam for tiles >= 1)
     out, hit_ref[:] = _noise_ttc_tile(
         out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
-        agents_per_env, n_beams, ttc_thresh)
+        agents_per_env, n_beams, ttc_thresh, beam_tile=0)
     if n_opp:
         out = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
                                 n_opp)

@@ -864,7 +864,11 @@ def test_megakernel_matches_unfused():
     rtex = scan_fast.build_range_texture(tmap, cfg_x)
     cfg_m = dataclasses.replace(cfg_x, scan_backend="pallas",
                                 scan_megakernel="on")
-    e_n, a_n = 4, 2
+    # 160 envs x 2 agents = 320 rows -> TWO row tiles at the mega
+    # ROW_TILE=256: regression for the round-5 beam_tile bug, where the
+    # iTTC beam mask keyed on pl.program_id(0) (the ROW tile under mega's
+    # 1-D grid) and silently zeroed every hit beyond the first tile
+    e_n, a_n = 160, 2
     pv = _free_poses(tmap, e_n * a_n, seed=41).reshape(e_n, a_n, 3)
     rng = np.random.default_rng(9)
     noise = jnp.asarray(rng.normal(0.0, 0.01, (e_n, cfg_m.num_beams)),
@@ -890,6 +894,9 @@ def test_megakernel_matches_unfused():
     assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
     assert np.mean(err > 4 * cell) < 2e-3, np.mean(err > 4 * cell)
     np.testing.assert_array_equal(hit_m, hit_u)
+    # fixture guard: the second row tile must actually contain hits, or the
+    # beam_tile regression above would pass vacuously
+    assert hit_u[128:].any(), "no iTTC hits beyond the first row tile"
 
 
 def test_megakernel_opp_matches_unfused():
