@@ -132,9 +132,13 @@ def measure(cfg) -> float:
         return s, dones, ssum
 
     # warmup / compile
+    t0 = time.time()
     s, dones, ssum = run(params, states, jax.random.PRNGKey(1))
     float(jnp.sum(s.x) + jnp.sum(ssum))  # force full execution
     # (block_until_ready does not reliably block through the axon relay)
+    # compile+first-run wall time: the agent-axis scaling study reads this
+    # (trace-time growth with num_agents is a reportable cost)
+    print(f"COMPILE_S {time.time() - t0:.1f}", flush=True)
 
     # best of 3 timed runs (run-to-run variance on shared/relayed chips ~5%)
     rate = 0.0
@@ -158,6 +162,9 @@ def _child_measure(mode: str) -> int:
             kw["fuse_scan_ttc"] = "off"
             kw["fuse_scan_opp"] = "off"
         cfg = dataclasses.replace(cfg, **kw)
+    if os.environ.get("BENCH_NOISE_MODE"):
+        cfg = dataclasses.replace(cfg,
+                                  noise_mode=os.environ["BENCH_NOISE_MODE"])
     rate = measure(cfg)
     print(f"RATE {rate:.1f}", flush=True)
     return 0
@@ -331,6 +338,36 @@ out5, hit5 = pallas_scan.mega_edge_ttc(
     jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
     30.0, 0.005, 2, T)
 print("PALLAS_OK", float(jnp.sum(out5) + jnp.sum(hit5)), flush=True)
+""",
+    # mega + rotation-addressed resident noise pool (noise_mode="pool_rot"):
+    # exercises the SMEM offset scalar + the dynamic sublane slice of the
+    # VMEM-resident pool — new Mosaic surface, probed before dispatch
+    "mega_rot": """
+import numpy as np
+raw = np.zeros((K, 5 * T), np.float32)
+raw[:, 0:T] = r.uniform(0.01, 28.0, (K, T))
+raw[:, T:2*T] = r.uniform(0, 1, (K, T)); raw[:, 2*T:3*T] = r.uniform(0, 1, (K, T))
+raw[:, 3*T:5*T] = r.normal(0, 1, (K, 2 * T))
+fmat = r.normal(size=(T, T)).astype(np.float32)
+ROWS = 1024
+pool = jnp.asarray(0.01 * r.normal(size=(ROWS + 256, B)), jnp.bfloat16)
+out6, hit6 = pallas_scan.mega_edge_ttc(
+    jnp.asarray(raw),
+    jnp.asarray(r.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(r.uniform(-0.1, 0.1, K), jnp.float32),
+    jnp.asarray(r.uniform(size=(K,)), jnp.float32),
+    jnp.asarray(r.integers(0, T, K), jnp.float32),
+    jnp.ones((K,), jnp.float32),
+    jnp.asarray(r.uniform(-3, 6, K), jnp.float32),
+    jnp.asarray(fmat), jnp.asarray(np.roll(fmat, -T // 2, axis=1)),
+    jnp.asarray(np.roll(np.eye(T, dtype=np.float32), -1, axis=1)),
+    jnp.asarray(r.normal(size=(T, 3 * B)), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,)), jnp.float32),
+    jnp.asarray(r.integers(0, ROWS, (K // 2, 1)), jnp.int32),
+    jnp.asarray(r.uniform(size=(B,), low=-1, high=1), jnp.float32),
+    jnp.asarray(r.uniform(size=(B,), low=0.1, high=0.3), jnp.float32),
+    30.0, 0.005, 2, T, pool=pool, pool_rows=ROWS)
+print("PALLAS_OK", float(jnp.sum(out6) + jnp.sum(hit6)), flush=True)
 """,
     "spec_ttc": """
 out3, hit3 = pallas_scan.theta_spectral_ttc(

@@ -135,7 +135,15 @@ class SimConfig:
     # docs/performance.md.  "fresh": one threefry draw per env per step —
     # the reference's exact semantics (laser_models.py:450-452); use for
     # noise-stream-sensitive studies, not for anything cryptographic
-    # either way.
+    # either way.  "pool_rot": same pool, rotation-addressed — under the
+    # megakernel the pool stays VMEM-resident and env e reads row
+    # (e + off) % rows with ONE shared per-step random offset, so the
+    # (E, B) noise slab never touches HBM (round-5 roofline: that slab
+    # was 84% HBM-bound).  Every step uses each row exactly once per
+    # 1024-env block (iid picks collide); the trade is that cross-env row
+    # assignment has a fixed lag structure instead of being independent
+    # (analysis in docs/performance.md).  Off the megakernel path,
+    # pool_rot degrades gracefully to the pool row-pick semantics.
     noise_mode: str = "pool"
     noise_pool_rows: int = 1024
     # steering delay depth (base_classes.py:107)
@@ -312,9 +320,9 @@ class SimConfig:
         if self.scan_megakernel not in ("auto", "on", "off"):
             raise ValueError(f"scan_megakernel must be 'auto'|'on'|'off', "
                              f"got {self.scan_megakernel!r}")
-        if self.noise_mode not in ("fresh", "pool"):
-            raise ValueError(f"noise_mode must be 'fresh'|'pool', got "
-                             f"{self.noise_mode!r}")
+        if self.noise_mode not in ("fresh", "pool", "pool_rot"):
+            raise ValueError(f"noise_mode must be 'fresh'|'pool'|"
+                             f"'pool_rot', got {self.noise_mode!r}")
         if self.rt_occlusion not in ("off", "snap", "edge"):
             raise ValueError(f"rt_occlusion must be 'off'|'snap'|'edge', got "
                              f"{self.rt_occlusion!r}")

@@ -113,8 +113,10 @@ def make_params(cfg: SimConfig, map_yaml_path: str, map_ext: str = ".png",
     rtex = None
     if cfg.scan_mode == "fast":
         rtex = scan_fast.build_range_texture(tmap, cfg)
+    pool = _make_noise_pool(cfg)
+    tables = tables._replace(noise_pool_ext=_pool_ext(cfg, pool))
     return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
-                     noise_pool=_make_noise_pool(cfg))
+                     noise_pool=pool)
 
 
 def _make_noise_pool(cfg: SimConfig):
@@ -126,7 +128,7 @@ def _make_noise_pool(cfg: SimConfig):
     (84% of bandwidth for its phase, tools/roofline.py) and a bf16 ulp on
     a sigma = 1 cm perturbation is ~0.02 mm — far below the sensor noise
     it implements; compute upcasts on read."""
-    if cfg.noise_mode != "pool" or cfg.scan_noise_std <= 0:
+    if cfg.noise_mode not in ("pool", "pool_rot") or cfg.scan_noise_std <= 0:
         return None
     key = jax.random.PRNGKey(0x5EED)
     pool = cfg.scan_noise_std * jax.random.normal(
@@ -134,6 +136,17 @@ def _make_noise_pool(cfg: SimConfig):
     if cfg.jdtype == jnp.float32:
         pool = pool.astype(jnp.bfloat16)
     return pool
+
+
+def _pool_ext(cfg: SimConfig, pool):
+    """Wrap-extended pool for noise_mode='pool_rot': the megakernel slices
+    a contiguous tile of envs at row offset (env + off) % rows, and the
+    appended copy of the first MEGA-tile rows keeps that slice contiguous
+    across the modulo seam (no in-kernel two-load wrap)."""
+    if cfg.noise_mode != "pool_rot" or pool is None:
+        return None
+    pad = min(256, pool.shape[0])  # >= largest mega row tile / a_n
+    return jnp.concatenate([pool, pool[:pad]], axis=0)
 
 
 def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
@@ -168,8 +181,10 @@ def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
         rtex = scan_fast.stack_textures(
             [scan_fast.pad_texture(scan_fast.build_range_texture(m, cfg),
                                    hc_pad, wc_pad) for m in raw])
+    pool = _make_noise_pool(cfg)
+    tables = tables._replace(noise_pool_ext=_pool_ext(cfg, pool))
     return EnvParams(vehicle=vehicle, tables=tables, tmap=tmap, rtex=rtex,
-                     noise_pool=_make_noise_pool(cfg))
+                     noise_pool=pool)
 
 
 def init_state(cfg: SimConfig, poses, key, map_idx=None) -> EnvState:
@@ -249,7 +264,8 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     rng, sub = jax.random.split(state.rng)
 
     def _noise_row(dtype=None):
-        if cfg.noise_mode == "pool" and params.noise_pool is not None:
+        if (cfg.noise_mode in ("pool", "pool_rot")
+                and params.noise_pool is not None):
             # one row pick per env per step: contiguous fetch, no fresh
             # transcendentals (see SimConfig.noise_mode).  dtype=None keeps
             # the pool's bfloat16 STORAGE dtype — the fused kernels read
@@ -278,8 +294,19 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         # With fuse_scan_opp resolving on, the opponent ray cast rides the
         # same kernel (the scan tensor then hits HBM exactly once).
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
-        noise = (_noise_row() if cfg.scan_noise_std > 0
-                 else jnp.zeros((cfg.num_beams,), dt))
+        if (cfg.noise_mode == "pool_rot" and cfg.scan_noise_std > 0
+                and params.noise_pool is not None
+                and scan_fast.use_megakernel(cfg)):
+            # rotation-addressed pool: pass the per-env row DRAW (same
+            # randint stream as the pool pick) instead of the fetched row;
+            # the megakernel reads pool row (env + draw[0]) % rows from
+            # the VMEM-resident pool (tables.noise_pool_ext) — the (E, B)
+            # slab never materializes in HBM
+            noise = jax.random.randint(
+                sub, (1,), 0, cfg.noise_pool_rows, jnp.int32)
+        else:
+            noise = (_noise_row() if cfg.scan_noise_std > 0
+                     else jnp.zeros((cfg.num_beams,), dt))
         fused = (noise, xt[3])
         opp_on = (scan_fast.use_fused_opp_mega(cfg)
                   if scan_fast.use_megakernel(cfg)

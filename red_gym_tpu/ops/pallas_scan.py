@@ -813,9 +813,13 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
                  fmat_ref, fmatsw_ref, shift1_ref, g0_ref, g1_ref, g2_ref,
                  cf_ref, noise_ref, cos_ref, side_ref, *refs,
                  max_range, ttc_thresh, agents_per_env, n_beams, t_bins,
-                 n_opp, ew_dtype):
-    if n_opp:
+                 n_opp, ew_dtype, pool_rows):
+    if n_opp and pool_rows:
+        sin_ref, opp_ref, pool_ref, out_ref, hit_ref = refs
+    elif n_opp:
         sin_ref, opp_ref, out_ref, hit_ref = refs
+    elif pool_rows:
+        pool_ref, out_ref, hit_ref = refs
     else:
         out_ref, hit_ref = refs
     f32 = jnp.float32
@@ -879,11 +883,24 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
 
     out = _edge_render_tile(sr, se, sw_, g0_ref[:], g1_ref[:], g2_ref[:],
                             fs_ref[:], wsum, cf_ref[:], max_range, ew_dtype)
+    if pool_rows:
+        # rotation-addressed resident pool (noise_mode="pool_rot"):
+        # noise_ref is the SMEM (1, 1) shared per-step offset and pool_ref
+        # the wrap-extended (rows + pad, B) pool — env g of this step reads
+        # row (g + off) % rows via ONE contiguous dynamic slice (the pad
+        # rows replicate the pool head, so the slice never wraps)
+        tile_envs = raw.shape[0] // agents_per_env
+        off = noise_ref[0, 0]
+        s = jax.lax.rem(pl.program_id(0) * tile_envs + off,
+                        jnp.int32(pool_rows))
+        noise_blk = pool_ref[pl.ds(s, tile_envs), :]
+    else:
+        noise_blk = noise_ref[:]
     # the megakernel's grid is 1-D over ROW tiles and its block carries the
     # full beam width, so its beam-tile index is always 0 (pl.program_id(0)
     # here is the ROW tile — using it masked every beam for tiles >= 1)
     out, hit_ref[:] = _noise_ttc_tile(
-        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:],
+        out, noise_blk, vel_ref[:], cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh, beam_tile=0)
     if n_opp:
         out = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
@@ -900,7 +917,8 @@ MEGA_ROW_TILE = 128
 
 @functools.lru_cache(maxsize=None)
 def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
-               t_bins: int, n_opp: int = 0, ew_dtype="bfloat16"):
+               t_bins: int, n_opp: int = 0, ew_dtype="bfloat16",
+               pool_rows: int = 0):
     a_n = agents_per_env
     # the half tile is only needed when the opp stage's extra live
     # intermediates are present; the plain mega fits (and measured ~1.5%
@@ -910,12 +928,15 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
 
     @jax.custom_batching.custom_vmap
     def mega(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
-             c_frac, noise, cosines, side_dist, sines, opp):
+             c_frac, noise, cosines, side_dist, sines, opp, pool):
         """Raw gathered texture rows -> finished noisy scan + iTTC flags.
 
         raw (K, 5T) (bf16 or f32 storage), per-row scalars dx/dy/f_s/i_f
         (float-encoded integer roll)/inb (in-bounds 0/1)/vel (K,), noise
-        (E, B) with K == E * agents_per_env.  Returns (scan (K, B),
+        (E, B) with K == E * agents_per_env — or, with pool_rows set,
+        noise (E, 1) int32 per-env row draws plus ``pool`` the
+        wrap-extended resident pool (env g reads pool row
+        (g + noise[0, 0]) % pool_rows in-kernel).  Returns (scan (K, B),
         hit (K,))."""
         k_n = raw.shape[0]
         T = t_bins
@@ -943,15 +964,29 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
                                 memory_space=pltpu.VMEM)
         beam_spec = pl.BlockSpec((1, b_n), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+        if pool_rows:
+            assert noise.dtype == jnp.int32 and noise.shape[1] == 1, noise
+            assert pool.shape[0] >= pool_rows + ROW_TILE // a_n, \
+                (pool.shape, pool_rows)
+            # one SHARED per-step offset: env 0's row draw (uniform on
+            # [0, pool_rows) from its per-step key); SMEM scalar so both
+            # the rotation arithmetic and the dynamic slice run on the
+            # scalar core
+            noise_op = jnp.reshape(noise[0, 0], (1, 1))
+            noise_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+        else:
+            noise_op = noise
+            noise_spec = pl.BlockSpec((ROW_TILE // a_n, b_n),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
         in_specs = [raw_spec, scal_spec, scal_spec, scal_spec, scal_spec,
                     scal_spec, scal_spec, tt_spec, tt_spec, tt_spec,
-                    tap_spec, tap_spec, tap_spec, beam_spec,
-                    pl.BlockSpec((ROW_TILE // a_n, b_n), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
+                    tap_spec, tap_spec, tap_spec, beam_spec, noise_spec,
                     beam_spec, beam_spec]
         operands = [raw, col2(dx), col2(dy), col2(f_s), col2(i_f),
                     col2(inb), col2(vel), fmat, fmat_sw, shift1, g0m, g1m,
-                    g2m, beam2(c_frac), noise, beam2(cosines),
+                    g2m, beam2(c_frac), noise_op, beam2(cosines),
                     beam2(side_dist)]
         if n_opp:
             assert opp.shape == (k_n, 10 * n_opp)
@@ -960,11 +995,17 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)]
             operands += [beam2(sines), opp]
+        if pool_rows:
+            # resident block: constant index map -> fetched once, reused
+            # across every grid step
+            in_specs += [pl.BlockSpec(pool.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)]
+            operands += [pool]
         out, hit = pl.pallas_call(
             functools.partial(_mega_kernel, max_range=max_range,
                               ttc_thresh=ttc_thresh, agents_per_env=a_n,
                               n_beams=b_n, t_bins=T, n_opp=n_opp,
-                              ew_dtype=ew_dtype),
+                              ew_dtype=ew_dtype, pool_rows=pool_rows),
             out_shape=(jax.ShapeDtypeStruct((k_n, b_n), dtype),
                        jax.ShapeDtypeStruct((8, k_n), dtype)),
             grid=grid,
@@ -980,11 +1021,11 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
     @mega.def_vmap
     def _vmap_rule(axis_size, in_batched, raw, dx, dy, f_s, i_f, inb, vel,
                    fmat, fmat_sw, shift1, gmat, c_frac, noise, cosines,
-                   side_dist, sines, opp):
+                   side_dist, sines, opp, pool):
         (rb, dxb, dyb, fb, ib, inbb, vb, fmb, fsb, shb, gb, cb, nb, cob,
-         sib, snb, ob) = in_batched
+         sib, snb, ob, poolb) = in_batched
         assert not any(jax.tree.leaves((fmb, fsb, shb, gb, cb, cob, sib,
-                                        snb))), \
+                                        snb, poolb))), \
             "constants must not carry a batch axis"
 
         def mat(x, batched):
@@ -1003,7 +1044,7 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
             raw_b.reshape((e * k_n, raw_b.shape[-1])),
             flat(dx, dxb), flat(dy, dyb), flat(f_s, fb), flat(i_f, ib),
             flat(inb, inbb), flat(vel, vb), fmat, fmat_sw, shift1, gmat,
-            c_frac, noise_b, cosines, side_dist, sines, opp_b)
+            c_frac, noise_b, cosines, side_dist, sines, opp_b, pool)
         return (out.reshape(e, k_n, out.shape[-1]),
                 hit.reshape(e, k_n)), (True, True)
 
@@ -1013,7 +1054,8 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
 def mega_edge_ttc(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1,
                   gmat, c_frac, noise, cosines, side_dist,
                   max_range: float, ttc_thresh: float, agents_per_env: int,
-                  t_bins: int, ew_dtype=jnp.bfloat16, sines=None, opp=None):
+                  t_bins: int, ew_dtype=jnp.bfloat16, sines=None, opp=None,
+                  pool=None, pool_rows: int = 0):
     """One-launch fast-scan pipeline from raw gathered rows (see comment
     above).  ``fmat_sw`` must be fmat with its columns rotated by T/2
     (jnp.roll(fmat, -T//2, axis=1)) and ``shift1`` the one-lane circular
@@ -1023,6 +1065,6 @@ def mega_edge_ttc(raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1,
     n_opp = 0 if opp is None else opp.shape[-1] // 10
     return _make_mega(float(max_range), float(ttc_thresh),
                       int(agents_per_env), int(t_bins), n_opp,
-                      jnp.dtype(ew_dtype).name)(
+                      jnp.dtype(ew_dtype).name, int(pool_rows))(
         raw, dx, dy, f_s, i_f, inb, vel, fmat, fmat_sw, shift1, gmat,
-        c_frac, noise, cosines, side_dist, sines, opp)
+        c_frac, noise, cosines, side_dist, sines, opp, pool)

@@ -13,7 +13,7 @@ so float64 runs are bit-exact.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -38,6 +38,11 @@ class ScanTables(NamedTuple):
     beam_cosines: jnp.ndarray    # (num_beams,) cos(scan_angles)
     beam_sines: jnp.ndarray      # (num_beams,) sin(scan_angles)
     side_distances: jnp.ndarray  # (num_beams,) lidar->car-edge distance
+    # (rows + pad, num_beams) wrap-extended noise pool, attached by
+    # env.make_params for cfg.noise_mode="pool_rot" only: the megakernel
+    # keeps it VMEM-resident and rotation-addresses rows in-kernel, so the
+    # per-step (E, B) noise slab never materializes (see SimConfig).
+    noise_pool_ext: Optional[jnp.ndarray] = None
 
 
 def build_tables(cfg: SimConfig, width: float, length: float,

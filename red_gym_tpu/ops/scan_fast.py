@@ -912,6 +912,17 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         for d in batch:
             rows_n *= int(d)
         noise2, a_n = _fused_noise_rows(noise, rows_n)
+        pool_ext, pool_rows = None, 0
+        if noise2.dtype == jnp.int32:
+            # pool_rot: noise2 carries per-env row DRAWS (E', 1); the
+            # kernel rotation-addresses the resident pool by draw[0]
+            pool_ext = tables.noise_pool_ext
+            pool_rows = cfg.noise_pool_rows
+            if pool_ext is None:
+                raise ValueError(
+                    "noise_mode='pool_rot' needs tables.noise_pool_ext — "
+                    "build params through env.make_params/"
+                    "make_multimap_params with this config")
         raw = rows_v[..., 0, :]                         # (..., 5T), K = 1
         # constant companions of fmat: the packed-twiddle half-rotation
         # folded into a second matrix, and the one-lane shift the parallax
@@ -933,7 +944,8 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
             ew_dtype=_resolve_ew_dtype(cfg, dtype),
             sines=None if opp is None else tables.beam_sines,
             opp=None if opp is None
-            else opp.reshape((-1, opp.shape[-1])))
+            else opp.reshape((-1, opp.shape[-1])),
+            pool=pool_ext, pool_rows=pool_rows)
         return out.reshape(batch + (b_n,)), hit.reshape(batch)
 
     rr = rows_v[..., :t_bins]

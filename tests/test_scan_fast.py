@@ -952,3 +952,52 @@ def test_megakernel_opp_matches_unfused():
     assert np.mean(err > 4 * cell) < 2e-3, np.mean(err > 4 * cell)
     np.testing.assert_array_equal(hit_m, hit_u)
     assert (np.asarray(scans_u) < np.asarray(scans_n) - 1e-6).any()
+
+
+def test_megakernel_pool_rot_matches_slab():
+    """noise_mode='pool_rot': the megakernel rotation-addresses a
+    VMEM-resident noise pool (env g reads row (g + off) % rows with off =
+    env 0's draw) instead of consuming a pre-materialized (E, B) slab.
+    Feeding the SAME rows through the slab path must match BIT-exactly —
+    the two paths differ only in how the rows reach the kernel.  160 envs
+    span two row tiles, so the rotation's per-tile slice offset (tile *
+    tile_envs + off) and the wrap seam both get exercised."""
+    import dataclasses
+
+    cfg_x = dataclasses.replace(CFG_EDGE, dtype="float32",
+                                scan_backend="xla", ttc_thresh=2.0)
+    tmap = load_map(MAP_YAML, ".png", dtype=jnp.float32)
+    tables = scan_ops.build_tables(cfg_x, 0.31, 0.58, dtype=jnp.float32)
+    rtex = scan_fast.build_range_texture(tmap, cfg_x)
+    cfg_m = dataclasses.replace(cfg_x, scan_backend="pallas",
+                                scan_megakernel="on",
+                                noise_mode="pool_rot", noise_pool_rows=256)
+    e_n, a_n = 160, 2
+    pv = _free_poses(tmap, e_n * a_n, seed=41).reshape(e_n, a_n, 3)
+    rng = np.random.default_rng(7)
+    vel = jnp.asarray(rng.uniform(-2.0, 6.0, (e_n, a_n)), jnp.float32)
+    rows = cfg_m.noise_pool_rows
+    pool = jnp.asarray(rng.normal(0.0, 0.01, (rows, cfg_m.num_beams)),
+                       jnp.float32).astype(jnp.bfloat16)
+    pad = min(256, rows)
+    tables_rot = tables._replace(
+        noise_pool_ext=jnp.concatenate([pool, pool[:pad]], axis=0))
+    # off large enough that the tile slices cross the wrap seam
+    off = rows - 37
+    ridx = jnp.full((e_n, 1), off, jnp.int32)  # only [0, 0] is read
+
+    rot = jax.jit(jax.vmap(
+        lambda po, no, ve: scan_fast.trace_fast_mxu(
+            po, tables_rot, tmap, rtex, cfg_m, fused_ttc=(no, ve))))
+    scans_r, hit_r = rot(pv, ridx, vel)
+
+    slab = pool[(jnp.arange(e_n) + off) % rows]            # (E, B) bf16
+    cfg_s = dataclasses.replace(cfg_m, noise_mode="pool")
+    ref = jax.jit(jax.vmap(
+        lambda po, no, ve: scan_fast.trace_fast_mxu(
+            po, tables, tmap, rtex, cfg_s, fused_ttc=(no, ve))))
+    scans_s, hit_s = ref(pv, slab, vel)
+
+    np.testing.assert_array_equal(np.asarray(scans_r), np.asarray(scans_s))
+    np.testing.assert_array_equal(np.asarray(hit_r), np.asarray(hit_s))
+    assert np.asarray(hit_s).any(), "degenerate fixture: no iTTC hits"

@@ -33,6 +33,8 @@ VARIANTS = {
                            fuse_scan_opp="on"),
     "edge/mega": dict(scan_megakernel="on", scan_backend="pallas",
                       fuse_scan_ttc="on"),
+    "edge/mega+poolrot": dict(scan_megakernel="on", scan_backend="pallas",
+                              fuse_scan_ttc="on", noise_mode="pool_rot"),
     "edge/mega-opp": dict(scan_megakernel="on", scan_backend="pallas",
                           fuse_scan_ttc="on", fuse_scan_opp="on"),
     "edge/fused-opp+pool": dict(fuse_scan_ttc="on", scan_backend="pallas",
