@@ -809,9 +809,9 @@ def _atan2_poly(y, x):
     return jnp.where(y < 0.0, -a, a)
 
 
-def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
-                 fmat_ref, fmatsw_ref, shift1_ref, g0_ref, g1_ref, g2_ref,
-                 cf_ref, noise_ref, cos_ref, side_ref, *refs,
+def _mega_kernel(raw_ref, scal_ref, fmat_ref, fmatsw_ref, shift1_ref,
+                 g0_ref, g1_ref, g2_ref, cf_ref, noise_ref, cos_ref,
+                 side_ref, *refs,
                  max_range, ttc_thresh, agents_per_env, n_beams, t_bins,
                  n_opp, ew_dtype, pool_rows):
     if n_opp and pool_rows:
@@ -830,8 +830,17 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
     w = raw[:, 2 * T:3 * T].astype(f32)
     gx = raw[:, 3 * T:4 * T].astype(f32)
     gy = raw[:, 4 * T:5 * T].astype(f32)
-    dx = dx_ref[:]                                          # (RT, 1)
-    dy = dy_ref[:]
+    # per-row scalars ride ONE packed (RT, 8) operand: six separate (RT, 1)
+    # operands each DMA'd a full 128-lane-padded stream AND dragged their
+    # own (E, A)->(K, 1) layout-copy kernel upstream (~6 copies visible in
+    # the round-5 profile); packed, there is one stream and one copy
+    sc = scal_ref[:]                                        # (RT, 8)
+    dx = sc[:, 0:1]
+    dy = sc[:, 1:2]
+    fs_col = sc[:, 2:3]
+    ii_col = sc[:, 3:4]
+    inb_col = sc[:, 4:5]
+    vel_col = sc[:, 5:6]
 
     # gradient pose-fold (scan_fast.trace_fast_mxu "per-cell channel
     # corrections"), identical op order
@@ -855,7 +864,7 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
     # spec = X @ fmat, spec_sw = X @ fmat_sw (columns pre-rotated by T/2),
     # and P/QR the per-row twiddle masks of the packed layout
     # [Re 0..T/2 | Im 1..T/2-1]
-    ii = ii_ref[:].astype(jnp.int32)                        # (RT, 1)
+    ii = ii_col.astype(jnp.int32)                           # (RT, 1)
     half = T // 2
     l_eff = jnp.where(lane <= half, lane, lane - half)      # (1, T)
     m = (ii * l_eff) % T                                    # (RT, T)
@@ -879,10 +888,10 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
     # validity: column 0 of the raw range row carries it (>=1mm build
     # floor); in-bounds arrives precomputed (depends on hc/wc)
     ok = jnp.minimum(R[:, 0:1] * 1e3, 1.0)                  # exact 0/1
-    wsum = inb_ref[:] * ok
+    wsum = inb_col * ok
 
     out = _edge_render_tile(sr, se, sw_, g0_ref[:], g1_ref[:], g2_ref[:],
-                            fs_ref[:], wsum, cf_ref[:], max_range, ew_dtype)
+                            fs_col, wsum, cf_ref[:], max_range, ew_dtype)
     if pool_rows:
         # rotation-addressed resident pool (noise_mode="pool_rot"):
         # noise_ref is the SMEM (1, 1) shared per-step offset and pool_ref
@@ -893,6 +902,13 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
         off = noise_ref[0, 0]
         s = jax.lax.rem(pl.program_id(0) * tile_envs + off,
                         jnp.int32(pool_rows))
+        # Mosaic requires a statically-provable sublane alignment for the
+        # dynamic slice start ("cannot statically prove that index in
+        # dimension 0 is a multiple of 8", live round-5).  The wrapper
+        # quantizes off to multiples of 16 (the bf16 packed-sublane
+        # granularity) and tile_envs/pool_rows are multiples of 16, so s
+        # is too — pl.multiple_of carries that proof to the compiler.
+        s = pl.multiple_of(s, 16)
         noise_blk = pool_ref[pl.ds(s, tile_envs), :]
     else:
         noise_blk = noise_ref[:]
@@ -900,7 +916,7 @@ def _mega_kernel(raw_ref, dx_ref, dy_ref, fs_ref, ii_ref, inb_ref, vel_ref,
     # full beam width, so its beam-tile index is always 0 (pl.program_id(0)
     # here is the ROW tile — using it masked every beam for tiles >= 1)
     out, hit_ref[:] = _noise_ttc_tile(
-        out, noise_blk, vel_ref[:], cos_ref[:], side_ref[:],
+        out, noise_blk, vel_col, cos_ref[:], side_ref[:],
         agents_per_env, n_beams, ttc_thresh, beam_tile=0)
     if n_opp:
         out = _opp_raycast_tile(out, opp_ref[:], cos_ref[:], sin_ref[:],
@@ -948,15 +964,21 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
         g0m = gmat[:, :b_n]
         g1m = gmat[:, b_n:2 * b_n]
         g2m = gmat[:, 2 * b_n:]
-        col2 = lambda v: v[:, None].astype(dtype)
         beam2 = lambda v: v[None, :].astype(dtype)
+        # ONE packed per-row scalar operand (see _mega_kernel): 6 columns +
+        # 2 zero-pad, one DMA stream and one upstream layout copy instead
+        # of six of each
+        scal = jnp.stack(
+            [dx.astype(dtype), dy.astype(dtype), f_s.astype(dtype),
+             i_f.astype(dtype), inb.astype(dtype), vel.astype(dtype),
+             jnp.zeros_like(dx, dtype), jnp.zeros_like(dx, dtype)], axis=-1)
 
         grid = (pl.cdiv(k_n, ROW_TILE),)
         interpret = jax.default_backend() != "tpu"
 
         raw_spec = pl.BlockSpec((ROW_TILE, 5 * T), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        scal_spec = pl.BlockSpec((ROW_TILE, 1), lambda i: (i, 0),
+        scal_spec = pl.BlockSpec((ROW_TILE, 8), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
         tt_spec = pl.BlockSpec((T, T), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -968,11 +990,14 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
             assert noise.dtype == jnp.int32 and noise.shape[1] == 1, noise
             assert pool.shape[0] >= pool_rows + ROW_TILE // a_n, \
                 (pool.shape, pool_rows)
+            assert pool_rows % 16 == 0 and (ROW_TILE // a_n) % 16 == 0, \
+                (pool_rows, ROW_TILE, a_n)
             # one SHARED per-step offset: env 0's row draw (uniform on
-            # [0, pool_rows) from its per-step key); SMEM scalar so both
-            # the rotation arithmetic and the dynamic slice run on the
-            # scalar core
-            noise_op = jnp.reshape(noise[0, 0], (1, 1))
+            # [0, pool_rows) from its per-step key), quantized to
+            # multiples of 16 so the in-kernel slice start is provably
+            # sublane-aligned (Mosaic rejects unaligned dynamic starts;
+            # pool_rows/16 distinct rotations per step remain)
+            noise_op = jnp.reshape(noise[0, 0] & ~jnp.int32(15), (1, 1))
             noise_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                       memory_space=pltpu.SMEM)
         else:
@@ -980,12 +1005,10 @@ def _make_mega(max_range: float, ttc_thresh: float, agents_per_env: int,
             noise_spec = pl.BlockSpec((ROW_TILE // a_n, b_n),
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
-        in_specs = [raw_spec, scal_spec, scal_spec, scal_spec, scal_spec,
-                    scal_spec, scal_spec, tt_spec, tt_spec, tt_spec,
+        in_specs = [raw_spec, scal_spec, tt_spec, tt_spec, tt_spec,
                     tap_spec, tap_spec, tap_spec, beam_spec, noise_spec,
                     beam_spec, beam_spec]
-        operands = [raw, col2(dx), col2(dy), col2(f_s), col2(i_f),
-                    col2(inb), col2(vel), fmat, fmat_sw, shift1, g0m, g1m,
+        operands = [raw, scal, fmat, fmat_sw, shift1, g0m, g1m,
                     g2m, beam2(c_frac), noise_op, beam2(cosines),
                     beam2(side_dist)]
         if n_opp:

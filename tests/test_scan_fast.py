@@ -982,7 +982,8 @@ def test_megakernel_pool_rot_matches_slab():
     pad = min(256, rows)
     tables_rot = tables._replace(
         noise_pool_ext=jnp.concatenate([pool, pool[:pad]], axis=0))
-    # off large enough that the tile slices cross the wrap seam
+    # off large enough that the tile slices cross the wrap seam, and NOT a
+    # multiple of 16 so the sublane-alignment quantization is exercised
     off = rows - 37
     ridx = jnp.full((e_n, 1), off, jnp.int32)  # only [0, 0] is read
 
@@ -991,7 +992,8 @@ def test_megakernel_pool_rot_matches_slab():
             po, tables_rot, tmap, rtex, cfg_m, fused_ttc=(no, ve))))
     scans_r, hit_r = rot(pv, ridx, vel)
 
-    slab = pool[(jnp.arange(e_n) + off) % rows]            # (E, B) bf16
+    off_q = off & ~15  # the kernel quantizes the offset to multiples of 16
+    slab = pool[(jnp.arange(e_n) + off_q) % rows]          # (E, B) bf16
     cfg_s = dataclasses.replace(cfg_m, noise_mode="pool")
     ref = jax.jit(jax.vmap(
         lambda po, no, ve: scan_fast.trace_fast_mxu(
