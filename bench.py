@@ -38,8 +38,13 @@ N_AGENTS = int(os.environ.get("BENCH_AGENTS", 2))
 # relay round trip on remote TPU backends) is amortized below 1%
 STEPS = int(os.environ.get("BENCH_STEPS", 120))
 # "default" = library defaults; "ultra" = spectral/no-edge-channels;
-# BENCH_MODES=default skips the ultra line
-MODES = os.environ.get("BENCH_MODES", "ultra,default").split(",")
+# BENCH_MODES=default skips the ultra lines.  ultrafused (the round-5
+# single-chip record, 6.8M) runs through the staged probe gauntlet and is
+# ordered dead last as a defensive habit — its spectral+iTTC kernel is the
+# one that wedged the r4 relay; the full probe ladder PASSES on the r5
+# toolchain (tools/probe_pallas.py, "ALL STAGES PASS") so it is back in
+# the default matrix.
+MODES = os.environ.get("BENCH_MODES", "ultra,ultrafused,default").split(",")
 
 _MODE_LABELS = {
     "default": "library default: fast/nearest1/linear + edge/grad channels, "

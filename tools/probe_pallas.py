@@ -258,7 +258,8 @@ K, T, B, A = 512, 128, 1080, 2
 def kern(wsum_ref, vel_ref, noise_ref, cos_ref, side_ref, out_ref, hit_ref):
     out = jnp.broadcast_to(wsum_ref[:], (ROW_TILE, BEAM_TILE))
     out_ref[:], hit_ref[:] = _noise_ttc_tile(
-        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:], A, B, 0.005)
+        out, noise_ref[:], vel_ref[:], cos_ref[:], side_ref[:], A, B, 0.005,
+        beam_tile=pl.program_id(0))
 grid = (pl.cdiv(B, BEAM_TILE), pl.cdiv(K, ROW_TILE))
 jn = pl.cdiv(B, BEAM_TILE)
 beam_spec = pl.BlockSpec((1, BEAM_TILE), lambda j, i: (0, j),
