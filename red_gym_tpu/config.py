@@ -284,6 +284,17 @@ class SimConfig:
     # float32); "auto" resolves from the capability record's probe + A/B
     # verdicts (RGT_MEGA=on|off overrides).
     scan_megakernel: str = "auto"
+    # one-launch PRE-scan state kernel (pallas_state.prestep): steer-delay
+    # line, PID, RK4 single-track integration, yaw wrap and the fast-scan
+    # geometry prep fused into a single Pallas launch on a
+    # fields-on-sublanes layout — the same work ran as ~1.4 ms/step of
+    # 9-40 us XLA kernels and layout copies after the scan megakernel
+    # landed (round-5 profiler).  Scope: fast/nearest1/float32 megakernel
+    # configs with the default PID, steer_delay=2, single map, scalar
+    # vehicle params (pallas_state.supported); everything else falls back
+    # to the XLA chain.  "auto" resolves from the capability record
+    # (RGT_STATE_KERNEL=on|off overrides).
+    state_kernel: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,
     # v_max, v_min) -> (accl, steer_vel).  None -> ops.dynamics.pid (the
@@ -320,6 +331,9 @@ class SimConfig:
         if self.scan_megakernel not in ("auto", "on", "off"):
             raise ValueError(f"scan_megakernel must be 'auto'|'on'|'off', "
                              f"got {self.scan_megakernel!r}")
+        if self.state_kernel not in ("auto", "on", "off"):
+            raise ValueError(f"state_kernel must be 'auto'|'on'|'off', "
+                             f"got {self.state_kernel!r}")
         if self.noise_mode not in ("fresh", "pool", "pool_rot"):
             raise ValueError(f"noise_mode must be 'fresh'|'pool'|"
                              f"'pool_rot', got {self.noise_mode!r}")

@@ -223,6 +223,28 @@ def init_state(cfg: SimConfig, poses, key, map_idx=None) -> EnvState:
     )
 
 
+def _use_state_kernel(cfg: SimConfig, params: EnvParams, midx) -> bool:
+    """Resolution of cfg.state_kernel (see SimConfig): scope check +
+    capability record / override."""
+    if cfg.state_kernel == "off":
+        return False
+    from red_gym_tpu.ops import pallas_state
+
+    if not pallas_state.supported(cfg, params, midx):
+        if cfg.state_kernel == "on":
+            raise ValueError(
+                "state_kernel='on' needs the fused megakernel scope: "
+                "scan_mode='fast', rt_spatial='nearest1', dtype='float32', "
+                "steer_delay=2, default PID, single map, scalar vehicle "
+                "params (pallas_state.supported)")
+        return False
+    if cfg.state_kernel == "on":
+        return True
+    from red_gym_tpu.utils import capability
+
+    return capability.state_kernel_enabled()
+
+
 def _steer_delay(cfg: SimConfig, state: EnvState, raw_steer):
     """Two-deep steering delay line (base_classes.py:268-276): the first
     `steer_delay` steps see zero steer, afterwards the oldest buffered value."""
@@ -241,20 +263,42 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
     actions = jnp.asarray(actions, dtype=cfg.jdtype)
     raw_steer, vel_cmd = actions[:, 0], actions[:, 1]
 
-    steer, steer_buf, steer_cnt = _steer_delay(cfg, state, raw_steer)
+    pregeo = None
+    if _use_state_kernel(cfg, params, state.map_idx):
+        # ONE Pallas launch for the whole pre-scan chain (steer delay,
+        # PID, RK4, yaw wrap, scan-geometry prep) on a fields-on-sublanes
+        # layout — replaces ~1.4 ms/step of small XLA kernels and layout
+        # copies at 16k envs (pallas_state module docstring)
+        from red_gym_tpu.ops import pallas_state
 
-    # pluggable low-level controller (fork delta, reference
-    # base_classes.py:68,91,280); default = the reference PID
-    controller = cfg.speed_controller or dyn.pid
-    accl, sv = controller(vel_cmd, steer, state.x[:, 3], state.x[:, 2],
-                          p.sv_max, p.a_max, p.v_max, p.v_min)
-    # component-tuple (struct-of-arrays) integration: the whole RK4 step
-    # fuses into a few XLA kernels instead of ~50 stack/slice fusions
-    xt = tuple(state.x[:, i] for i in range(7))
-    xt = integrate.integrate_t(cfg.integrator, dyn.vehicle_dynamics_st_t,
-                               xt, sv, accl, cfg.timestep, p)
-    xt = xt[:4] + (integrate.wrap_yaw(xt[4]),) + xt[5:]
-    x = jnp.stack(xt, axis=-1)
+        veh, geo_f, geo_i = pallas_state.pack_rows(params, cfg)
+        o = pallas_state.prestep(cfg, state.x, state.steer_buf,
+                                 state.steer_cnt, actions,
+                                 veh, geo_f, geo_i)          # 16 x (A,)
+        xt = o[0:7]
+        x = jnp.stack(xt, axis=-1)
+        steer_buf = jnp.stack([o[7], o[8]], axis=-1)
+        steer_cnt = o[9].astype(jnp.int32)
+        pregeo = (o[15].astype(jnp.int32)[:, None],          # texture rows
+                  o[14][:, None],                            # in-bounds wgt
+                  o[10][:, None], o[11][:, None],            # dx, dy
+                  o[12], o[13])                              # f_s, i_f
+    else:
+        steer, steer_buf, steer_cnt = _steer_delay(cfg, state, raw_steer)
+
+        # pluggable low-level controller (fork delta, reference
+        # base_classes.py:68,91,280); default = the reference PID
+        controller = cfg.speed_controller or dyn.pid
+        accl, sv = controller(vel_cmd, steer, state.x[:, 3], state.x[:, 2],
+                              p.sv_max, p.a_max, p.v_max, p.v_min)
+        # component-tuple (struct-of-arrays) integration: the whole RK4
+        # step fuses into a few XLA kernels instead of ~50 stack/slice
+        # fusions
+        xt = tuple(state.x[:, i] for i in range(7))
+        xt = integrate.integrate_t(cfg.integrator, dyn.vehicle_dynamics_st_t,
+                                   xt, sv, accl, cfg.timestep, p)
+        xt = xt[:4] + (integrate.wrap_yaw(xt[4]),) + xt[5:]
+        x = jnp.stack(xt, axis=-1)
 
     poses = jnp.stack([xt[0], xt[1], xt[4]], axis=-1)
 
@@ -316,9 +360,17 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
                                                    params.tables)
             fused = (noise, xt[3], opp)
             opp_fused = True
-        scans, hit01 = _fast_scan_entry()(
-            poses, params.tables, params.tmap, params.rtex, cfg,
-            midx=state.map_idx, fused_ttc=fused)
+        if pregeo is not None:
+            # geometry prep already computed in the fused state kernel;
+            # the flat-scan entry doesn't thread it (recorded-negative
+            # path), so call the vmapped trace directly
+            scans, hit01 = scan_fast.trace_fast_mxu(
+                poses, params.tables, params.tmap, params.rtex, cfg,
+                midx=state.map_idx, fused_ttc=fused, pregeo=pregeo)
+        else:
+            scans, hit01 = _fast_scan_entry()(
+                poses, params.tables, params.tmap, params.rtex, cfg,
+                midx=state.map_idx, fused_ttc=fused)
         ttc_hit = (hit01 > 0) & (xt[3] != 0.0)
     elif cfg.scan_mode == "fast":
         scans = _fast_scan_entry()(

@@ -837,7 +837,7 @@ def _fused_noise_rows(noise, rows_n: int):
 
 def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
                    rtex: RangeTexture, cfg: SimConfig, midx=None,
-                   fused_ttc=None):
+                   fused_ttc=None, pregeo=None):
     """MXU formulation of the fast scan: contiguous gathers + constant matmuls.
 
     Decompose every beam's theta coordinate u_b = s + c_b where s depends
@@ -877,16 +877,31 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         raise ValueError(
             "fused_ttc needs scan_backend='pallas' and rt_occlusion='edge' "
             "or scan_interp='spectral' — this config has no fused epilogue")
-    rows, wgt, _, dx, dy = _cells_and_theta(pose, tables, tmap, rtex, cfg,
-                                            midx)
+    if pregeo is not None:
+        # geometry prep precomputed by the fused pre-scan state kernel
+        # (ops/pallas_state.py) — identical formulas, one launch upstream;
+        # only the megakernel branch consumes this form
+        if not use_megakernel(cfg) or fused_ttc is None:
+            raise ValueError("pregeo needs the megakernel branch "
+                             "(scan_megakernel resolved on + fused_ttc)")
+        rows, wgt, dx, dy, f_s, i_f = pregeo
+        f_s = f_s.astype(dtype)
+        i_f = i_f.astype(dtype)
+        i_i = None
+    else:
+        rows, wgt, _, dx, dy = _cells_and_theta(pose, tables, tmap, rtex,
+                                                cfg, midx)
 
-    # per-agent theta decomposition (beam offsets enter via constant gmat)
-    s = jnp.mod(pose[..., 2], two_pi) * (t_bins / two_pi)       # (...,)
-    i_s = jnp.floor(s)
-    f_s = (s - i_s).astype(dtype)
-    i_i = i_s.astype(jnp.int32)
-    # s can round up to exactly T (theta just under 2pi): wrap, don't clamp
-    i_i = jnp.where(i_i >= t_bins, i_i - t_bins, i_i)
+        # per-agent theta decomposition (beam offsets enter via constant
+        # gmat)
+        s = jnp.mod(pose[..., 2], two_pi) * (t_bins / two_pi)   # (...,)
+        i_s = jnp.floor(s)
+        f_s = (s - i_s).astype(dtype)
+        i_i = i_s.astype(jnp.int32)
+        # s can round up to exactly T (theta just under 2pi): wrap, don't
+        # clamp
+        i_i = jnp.where(i_i >= t_bins, i_i - t_bins, i_i)
+        i_f = i_i.astype(dtype)
 
     rt2d = rtex.rt.reshape((-1, rtex.rt.shape[-1])) \
         if rtex.rt.ndim == 3 else rtex.rt
@@ -936,7 +951,7 @@ def trace_fast_mxu(pose, tables: scan_ops.ScanTables, tmap: TrackMap,
         out, hit = pallas_scan.mega_edge_ttc(
             raw.reshape((-1, n_chan * t_bins)),
             dx[..., 0].reshape((-1,)), dy[..., 0].reshape((-1,)),
-            f_s.reshape((-1,)), i_i.astype(dtype).reshape((-1,)),
+            f_s.reshape((-1,)), i_f.reshape((-1,)),
             wgt[..., 0].reshape((-1,)), vel.reshape((-1,)),
             rtex.fmat, fmat_sw, shift1, rtex.gmat, c_frac_m, noise2,
             tables.beam_cosines, tables.side_distances, cfg.max_range,

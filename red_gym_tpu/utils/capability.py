@@ -110,6 +110,22 @@ def mega_enabled() -> bool:
     return bool(rec.get("mega_ok")) and bool(rec.get("mega_faster"))
 
 
+def state_kernel_enabled() -> bool:
+    """Resolution of state_kernel="auto": probe verdict (state_ok, from
+    tools/probe_pallas.py pallas-state) AND end-to-end A/B (state_faster,
+    from tools/ablate_default.py --record).  RGT_STATE_KERNEL=on|off
+    overrides."""
+    ov = os.environ.get("RGT_STATE_KERNEL", "").lower()
+    if ov in ("on", "1", "true"):
+        return True
+    if ov in ("off", "0", "false"):
+        return False
+    if not mega_enabled():
+        return False
+    rec = read_record()
+    return bool(rec.get("state_ok")) and bool(rec.get("state_faster"))
+
+
 def mega_opp_enabled() -> bool:
     """Resolution of fuse_scan_opp="auto" when the MEGAKERNEL carries the
     scan: needs the mega+opp program's own probe + A/B verdicts

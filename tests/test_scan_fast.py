@@ -1003,3 +1003,50 @@ def test_megakernel_pool_rot_matches_slab():
     np.testing.assert_array_equal(np.asarray(scans_r), np.asarray(scans_s))
     np.testing.assert_array_equal(np.asarray(hit_r), np.asarray(hit_s))
     assert np.asarray(hit_s).any(), "degenerate fixture: no iTTC hits"
+
+
+def test_state_kernel_matches_xla_chain():
+    """cfg.state_kernel='on': the fused pre-scan Pallas kernel (steer
+    delay + PID + RK4 + yaw wrap + scan-geometry prep in ONE launch,
+    ops/pallas_state.py) must reproduce the XLA chain BIT-exactly through
+    a full env.step — it calls the same jnp functions in the same order on
+    a transposed layout.  Multi-step closed loop so the delay line, the
+    kernel-carried state and the pregeo-fed megakernel all cycle."""
+    import dataclasses
+
+    cfg_off = SimConfig(num_agents=2, num_beams=270, dtype="float32",
+                        scan_mode="fast", rt_theta_bins=128,
+                        rt_pose_stride=8, rt_occlusion="edge", rt_grad=True,
+                        scan_backend="pallas", scan_megakernel="on",
+                        fuse_scan_ttc="on", state_kernel="off")
+    cfg_on = dataclasses.replace(cfg_off, state_kernel="on")
+    params = envlib.make_params(cfg_off, MAP_YAML, ".png")
+
+    E = 6
+    poses = jnp.tile(jnp.asarray([[0.7, 0.0, 1.37], [0.7, -1.0, 1.37]],
+                                 jnp.float32), (E, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(11), E)
+
+    def roll(cfg):
+        reset_v = jax.jit(jax.vmap(
+            lambda po, k: envlib.reset(cfg, params, po, k)))
+        step_v = jax.jit(jax.vmap(
+            lambda s, a: envlib.step(cfg, params, s, a)))
+        s, o, *_ = reset_v(poses, keys)
+        outs = []
+        for t in range(5):
+            a = jnp.full((E, 2, 2), 0.1 * (t + 1), jnp.float32)
+            s, o, r, d, _ = step_v(s, a)
+            outs.append((o.scans, o.poses_x, o.poses_theta, o.collisions))
+        return s, outs
+
+    s_off, o_off = roll(cfg_off)
+    s_on, o_on = roll(cfg_on)
+    for (a, b) in zip(o_off, o_on):
+        for u, v in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(s_off.x), np.asarray(s_on.x))
+    np.testing.assert_array_equal(np.asarray(s_off.steer_buf),
+                                  np.asarray(s_on.steer_buf))
+    np.testing.assert_array_equal(np.asarray(s_off.steer_cnt),
+                                  np.asarray(s_on.steer_cnt))
