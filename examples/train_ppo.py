@@ -44,6 +44,12 @@ def main():
                     choices=["bilinear", "nearest", "nearest1"],
                     help="fast-scan spatial lookup; nearest1 = the "
                          "single-gather ultra-throughput mode")
+    ap.add_argument("--ultra", action="store_true",
+                    help="train on the spectral ultra-throughput scan "
+                         "(nearest1 + spectral interpolation, no edge/grad "
+                         "channels — the pre-r3 error class, p99 ~4.5 m); "
+                         "the default trains on the accuracy-first "
+                         "edge+grad scan")
     ap.add_argument("--save", type=str, default="ppo_ckpt")
     ap.add_argument("--map", type=str, default=None)
     ap.add_argument("--opponents", type=str, default="cruise",
@@ -73,6 +79,11 @@ def main():
     cfg = SimConfig(num_agents=args.agents, num_beams=args.beams,
                     timestep=0.01, integrator=Integrator.RK4, dtype="float32",
                     scan_mode=args.scan_mode, rt_spatial=args.rt_spatial)
+    if args.ultra:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, rt_spatial="nearest1",
+                                  scan_interp="spectral", rt_grad=False,
+                                  rt_occlusion="off")
 
     map_idx = None
     if args.multi_map:
