@@ -535,7 +535,11 @@ def main():
             extra["BENCH_FORCE_BACKEND"] = "xla"
             label += " [UNFUSED xla fallback: opp kernel probe failed]"
         elif mode in fused_modes and on_tpu:
-            extra["RGT_FUSE_OPP"] = "on" if opp_ok else "off"
+            # ONLY fusedopp claims the opponent-fused kernel; pinning it
+            # for fused/fusedpool measured the slower opp variant under a
+            # noise+iTTC-only label (review round 5)
+            extra["RGT_FUSE_OPP"] = \
+                "on" if (mode == "fusedopp" and opp_ok) else "off"
             # these modes claim the edge_ttc kernels specifically; a mega
             # capability record must not silently upgrade them
             extra["RGT_MEGA"] = "off"

@@ -292,8 +292,10 @@ class SimConfig:
     # landed (round-5 profiler).  Scope: fast/nearest1/float32 megakernel
     # configs with the default PID, steer_delay=2, single map, scalar
     # vehicle params (pallas_state.supported); everything else falls back
-    # to the XLA chain.  "auto" resolves from the capability record
-    # (RGT_STATE_KERNEL=on|off overrides).
+    # to the XLA chain.  Measured END-TO-END NEGATIVE on round-5 hardware
+    # (docs/performance.md: the "dust" it fuses overlaps DMA waits), so
+    # "auto" resolves OFF — no tool writes the capability keys it would
+    # need; run it only via "on" / RGT_STATE_KERNEL=on.
     state_kernel: str = "auto"
     # fork delta (reference base_classes.py:68,91,280): pluggable low-level
     # controller mapping (speed_cmd, steer_cmd, v, steer, sv_max, a_max,

@@ -141,12 +141,20 @@ def _make_noise_pool(cfg: SimConfig):
 def _pool_ext(cfg: SimConfig, pool):
     """Wrap-extended pool for noise_mode='pool_rot': the megakernel slices
     a contiguous tile of envs at row offset (env + off) % rows, and the
-    appended copy of the first MEGA-tile rows keeps that slice contiguous
-    across the modulo seam (no in-kernel two-load wrap)."""
+    appended copy of the first tile_envs rows keeps that slice contiguous
+    across the modulo seam (no in-kernel two-load wrap).
+
+    Returns None — degrading pool_rot to the plain pool row-pick — when
+    the kernel's tiling constraints don't hold: rows and the per-tile env
+    count must be multiples of 16 (Mosaic sublane alignment) and the pool
+    must cover one tile of envs (pallas_scan mega asserts)."""
     if cfg.noise_mode != "pool_rot" or pool is None:
         return None
-    pad = min(256, pool.shape[0])  # >= largest mega row tile / a_n
-    return jnp.concatenate([pool, pool[:pad]], axis=0)
+    tile_envs = 256 // cfg.num_agents if 256 % cfg.num_agents == 0 else 0
+    if (tile_envs == 0 or tile_envs % 16 or cfg.noise_pool_rows % 16
+            or cfg.noise_pool_rows < tile_envs):
+        return None
+    return jnp.concatenate([pool, pool[:tile_envs]], axis=0)
 
 
 def make_multimap_params(cfg: SimConfig, map_yaml_paths, map_ext: str = ".png",
@@ -340,6 +348,7 @@ def sim_step(cfg: SimConfig, params: EnvParams, state: EnvState, actions):
         dt = jnp.float32 if cfg.dtype == "float32" else jnp.float64
         if (cfg.noise_mode == "pool_rot" and cfg.scan_noise_std > 0
                 and params.noise_pool is not None
+                and params.tables.noise_pool_ext is not None
                 and scan_fast.use_megakernel(cfg)):
             # rotation-addressed pool: pass the per-env row DRAW (same
             # randint stream as the pool pick) instead of the fetched row;

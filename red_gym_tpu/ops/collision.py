@@ -130,13 +130,14 @@ def pairwise_hits_from_poses(poses, length, width):
     hits = jnp.any(o, axis=0)
     # scatter each pass's hits back onto the partner (i+k); the even-A
     # middle pass pairs i with i+A/2 symmetrically and must not double in
-    back = jnp.zeros((a_n,), bool)
     o_back = o if a_n % 2 != 0 else o[:-1]
     ks_back = ks if a_n % 2 != 0 else ks[:-1]
-    if o_back.shape[0]:
-        idx_back = (jnp.arange(a_n)[None, :] + ks_back[:, None]) % a_n
-        back = jnp.zeros((a_n,), bool).at[idx_back.reshape(-1)].max(
-            o_back.reshape(-1))
+    # o_back is never empty here: this path runs only for a_n > 4, where
+    # ks has >= 2 entries and at most one (the symmetric middle pass) is
+    # dropped
+    idx_back = (jnp.arange(a_n)[None, :] + ks_back[:, None]) % a_n
+    back = jnp.zeros((a_n,), bool).at[idx_back.reshape(-1)].max(
+        o_back.reshape(-1))
     return hits | back
 
 

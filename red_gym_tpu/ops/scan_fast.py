@@ -766,16 +766,21 @@ def use_megakernel(cfg: SimConfig) -> bool:
     calling with the fused (noise, vel) operands."""
     if cfg.scan_megakernel == "off":
         return False
+    # 128 = the smaller (opp-fused) mega row tile; requiring it divides
+    # covers the plain 256 tile too.  Fall back to the unfused path for
+    # agent counts like 3 instead of tripping the kernel's tile assert at
+    # trace time.
     ok = (cfg.scan_mode == "fast" and cfg.rt_spatial == "nearest1"
           and cfg.scan_interp == "linear" and cfg.rt_eff_occlusion == "edge"
-          and cfg.rt_grad and cfg.dtype == "float32" and _use_pallas(cfg))
+          and cfg.rt_grad and cfg.dtype == "float32" and _use_pallas(cfg)
+          and 128 % cfg.num_agents == 0)
     if cfg.scan_megakernel == "on":
         if not ok:
             raise ValueError(
                 "scan_megakernel='on' needs scan_mode='fast', "
                 "rt_spatial='nearest1', scan_interp='linear', "
-                "rt_occlusion='edge', rt_grad=True, dtype='float32' and a "
-                "Pallas backend")
+                "rt_occlusion='edge', rt_grad=True, dtype='float32', a "
+                "Pallas backend, and num_agents dividing 128")
         return True
     if not ok:
         return False

@@ -111,10 +111,14 @@ def mega_enabled() -> bool:
 
 
 def state_kernel_enabled() -> bool:
-    """Resolution of state_kernel="auto": probe verdict (state_ok, from
-    tools/probe_pallas.py pallas-state) AND end-to-end A/B (state_faster,
-    from tools/ablate_default.py --record).  RGT_STATE_KERNEL=on|off
-    overrides."""
+    """Resolution of state_kernel="auto".  The fused pre-scan state kernel
+    measured END-TO-END NEGATIVE on round-5 hardware (4.76-4.92M vs 5.16M,
+    docs/performance.md) so NO tool currently writes the state_ok /
+    state_faster record keys — auto therefore always resolves OFF and the
+    only way to run the kernel is the RGT_STATE_KERNEL=on override (or
+    cfg.state_kernel="on").  The keys are reserved so a future
+    re-evaluation on different hardware can flip the default from data
+    by writing them."""
     ov = os.environ.get("RGT_STATE_KERNEL", "").lower()
     if ov in ("on", "1", "true"):
         return True

@@ -480,3 +480,43 @@ def test_noise_pool_rot_env_smoke():
     _, o3f, *_ = jax.jit(jax.vmap(
         lambda s, a: envlib.step(cfg_f, params, s, a), in_axes=(0, 0)))(s1, act)
     assert np.isfinite(np.asarray(o3f.scans)).all()
+
+
+def test_mega_and_pool_rot_scope_guards():
+    """Round-5 review fixes: agent counts that don't divide the mega row
+    tile fall back to the unfused path instead of tripping a trace-time
+    tile assert, and pool_rot configs outside the kernel's tiling
+    constraints degrade to the plain pool row-pick (noise_pool_ext
+    None)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from red_gym_tpu.config import SimConfig
+    from red_gym_tpu import env as envlib
+    from red_gym_tpu.ops import scan_fast
+    import pytest as _pytest
+
+    base = SimConfig(num_agents=3, num_beams=64, dtype="float32",
+                     scan_mode="fast", rt_occlusion="edge", rt_grad=True,
+                     scan_backend="pallas")
+    # A=3: 'on' refuses loudly, 'auto' silently falls back
+    with _pytest.raises(ValueError, match="num_agents dividing 128"):
+        scan_fast.use_megakernel(
+            dataclasses.replace(base, scan_megakernel="on"))
+    assert not scan_fast.use_megakernel(
+        dataclasses.replace(base, scan_megakernel="auto"))
+    # A=2 divides: 'on' accepted
+    assert scan_fast.use_megakernel(
+        dataclasses.replace(base, num_agents=2, scan_megakernel="on"))
+
+    # pool_rot tiling constraints -> graceful degradation
+    pool = jnp.zeros((100, 64), jnp.bfloat16)
+    cfg = dataclasses.replace(base, num_agents=2, noise_mode="pool_rot",
+                              noise_pool_rows=100)
+    assert envlib._pool_ext(cfg, pool) is None          # rows % 16 != 0
+    cfg = dataclasses.replace(cfg, noise_pool_rows=128)
+    pool = jnp.zeros((128, 64), jnp.bfloat16)
+    assert envlib._pool_ext(
+        dataclasses.replace(cfg, num_agents=1), pool) is None  # < tile
+    ext = envlib._pool_ext(cfg, pool)                   # A=2: tile 128 ok
+    assert ext is not None and ext.shape[0] == 128 + 128
