@@ -9,6 +9,8 @@ mechanism SAL uses to draw planned paths, reference src/SAL.py:938-969).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from red_gym_tpu.ops.collision import get_vertices
@@ -28,6 +30,8 @@ class Viewer:
         self.fig, self.ax = plt.subplots(figsize=figsize)
         self._cars = []
         self._caption = None
+        self._fps = None
+        self._last_draw = None
         self._extra_artists = []
         self._state = None
 
@@ -153,8 +157,19 @@ class Viewer:
 
         lap_t = np.asarray(self._state.lap_times)
         lap_c = np.asarray(self._state.lap_counts)
+        # render-rate readout (reference EnvRenderer's pyglet FPSDisplay,
+        # rendering.py:75): EWMA over wall-clock draw intervals
+        now = time.monotonic()
+        if self._last_draw is not None:
+            dt_w = max(now - self._last_draw, 1e-6)
+            inst = 1.0 / dt_w
+            self._fps = inst if self._fps is None \
+                else 0.9 * self._fps + 0.1 * inst
+        self._last_draw = now
+        fps_txt = f"  {self._fps:.0f} fps" if self._fps is not None else ""
         cap = f"t={float(np.asarray(self._state.current_time)):.2f}s  " \
-              f"laps={lap_c.tolist()}  lap_times={np.round(lap_t, 2).tolist()}"
+              f"laps={lap_c.tolist()}  " \
+              f"lap_times={np.round(lap_t, 2).tolist()}{fps_txt}"
         if self._caption is None:
             self._caption = self.ax.set_title(cap, fontsize=9)
         else:

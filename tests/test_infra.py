@@ -127,6 +127,10 @@ def test_viewer_renders_frame(tmp_path, params):
     v.draw_polyline(np.array([[0.0, 0.0], [1.0, 1.0]]))
     out = str(tmp_path / "frame.png")
     v.draw(save_path=out)
+    # second frame: the FPS readout (reference EnvRenderer's pyglet
+    # FPSDisplay analogue) appears in the caption from frame 2 on
+    v.draw(save_path=out)
+    assert v._fps is not None and "fps" in v._caption.get_text()
     v.close()
     assert os.path.exists(out) and os.path.getsize(out) > 10000
 
