@@ -116,6 +116,12 @@ def main():
     ap.add_argument("--rt-stride", type=int, default=2,
                     help="range-texture pose stride (texture cell = stride "
                          "* map resolution); raise for cheap CPU smokes")
+    ap.add_argument("--collision-penalty", type=float, default=10.0,
+                    help="crash penalty in the PPO shaping (the default "
+                         "10 matches the committed study; raising it "
+                         "trades pace for narrow-corridor safety — the "
+                         "1000-iter overtraining negative showed the "
+                         "speed term dominating, docs/status.md)")
     args = ap.parse_args()
 
     yamls = track_yamls()
@@ -142,7 +148,11 @@ def main():
     states = sh.shard_envs(mesh, states)
     obs = sh.shard_envs(mesh, obs)
 
-    ppo = PPO(cfg, params_tr, PPOConfig(rollout_len=args.rollout))
+    from red_gym_tpu.agents.ppo import progress_collision_reward
+
+    ppo = PPO(cfg, params_tr, PPOConfig(rollout_len=args.rollout),
+              reward_fn=progress_collision_reward(
+                  collision_penalty=args.collision_penalty))
     pstate = sh.replicate(mesh, ppo.init(jax.random.PRNGKey(args.seed + 1)))
     train = jax.jit(lambda ps, s, o, ep: ppo.train_step(ps, s, o, ep))
 
